@@ -1,0 +1,237 @@
+"""Benchmark harness: TOML-driven ef sweeps with recall@k and ms/query.
+
+Parity target: examples/bench.rs — load base/test sets + exact ground truth,
+build-or-load the index (and PQ table) with timing and a disk cache
+(bench.rs:171-266), sweep ef (range or list), measure average ms/query and
+recall@10, merge results into a cumulative ResultList TOML
+(bench.rs:312-368), and emit a recall-vs-throughput HTML plot.
+
+The reference's `-t` multi-threaded query fan-out (bench.rs:414-418) maps to
+device query *batching*: all test queries advance through one jitted batched
+kernel; ms/query = wall-clock / n_queries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..models import FlatIndex, HNSWIndex, IVFIndex, PQTable
+from ..utils import io
+from ..utils.candidates import GroundTruth
+from ..utils.config import BenchConfig
+from ..utils.serde import atomic_write_bytes
+
+
+def _fmt_floats(xs) -> str:
+    inner = ",\n    ".join(repr(float(x)) for x in xs)
+    return "[\n    " + inner + ",\n]"
+
+
+class ResultList:
+    """Cumulative results TOML (bench.rs:312-368): one [[results]] block per
+    label, replaced wholesale when re-run."""
+
+    def __init__(self, title: str = ""):
+        self.title = title
+        self.results: dict[str, dict] = {}
+
+    @classmethod
+    def load(cls, path: str) -> "ResultList":
+        import tomllib
+
+        self = cls()
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                d = tomllib.load(f)
+            self.title = d.get("title", "")
+            for r in d.get("results", []):
+                self.results[r["label"]] = r
+        return self
+
+    def update(self, label: str, ef: list[int], search_time: list[float], recall: list[float]):
+        self.results[label] = {
+            "label": label,
+            "ef": list(ef),
+            "search_time": [float(x) for x in search_time],
+            "recall": [float(x) for x in recall],
+        }
+
+    def save(self, path: str) -> None:
+        lines = [f'title = "{self.title}"', ""]
+        for r in self.results.values():
+            lines.append("[[results]]")
+            lines.append(f'label = "{r["label"]}"')
+            lines.append(f'ef = {list(r["ef"])}')
+            lines.append(f'search_time = {_fmt_floats(r["search_time"])}')
+            lines.append(f'recall = {_fmt_floats(r["recall"])}')
+            lines.append("")
+        atomic_write_bytes(path, "\n".join(lines).encode())
+
+    def plot_html(self, path: str) -> None:
+        """Recall-vs-QPS scatter (bench.rs:334-358).  Self-contained HTML via
+        a tiny inline SVG — no plotting dependency required."""
+        series = []
+        colors = ["#4269d0", "#efb118", "#ff725c", "#6cc5b0", "#3ca951", "#ff8ab7"]
+        for idx, r in enumerate(self.results.values()):
+            qps = [1000.0 / max(t, 1e-9) for t in r["search_time"]]
+            series.append((r["label"], r["recall"], qps, colors[idx % len(colors)]))
+        if not series:
+            atomic_write_bytes(path, b"<html><body>No results</body></html>")
+            return
+        all_q = [q for _, _, qs, _ in series for q in qs]
+        all_r = [x for _, rs, _, _ in series for x in rs]
+        qmin, qmax = min(all_q) * 0.8, max(all_q) * 1.2
+        rmin, rmax = min(all_r) - 0.02, min(1.0, max(all_r) + 0.02)
+        W, H, PAD = 720, 480, 60
+
+        def sx(r):
+            return PAD + (r - rmin) / max(rmax - rmin, 1e-9) * (W - 2 * PAD)
+
+        def sy(q):
+            import math
+
+            lo, hi = math.log10(qmin), math.log10(qmax)
+            return H - PAD - (math.log10(q) - lo) / max(hi - lo, 1e-9) * (H - 2 * PAD)
+
+        parts = [
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" height="{H}" font-family="sans-serif">',
+            f'<text x="{W/2}" y="20" text-anchor="middle" font-size="14">{self.title}</text>',
+            f'<text x="{W/2}" y="{H-10}" text-anchor="middle" font-size="12">recall@10</text>',
+            f'<text x="15" y="{H/2}" transform="rotate(-90 15 {H/2})" text-anchor="middle" font-size="12">QPS (log)</text>',
+        ]
+        for li, (label, rs, qs, color) in enumerate(series):
+            pts = " ".join(f"{sx(r):.1f},{sy(q):.1f}" for r, q in zip(rs, qs))
+            parts.append(
+                f'<polyline fill="none" stroke="{color}" stroke-width="2" points="{pts}"/>'
+            )
+            for r, q in zip(rs, qs):
+                parts.append(
+                    f'<circle cx="{sx(r):.1f}" cy="{sy(q):.1f}" r="3" fill="{color}"/>'
+                )
+            parts.append(
+                f'<text x="{W-PAD}" y="{PAD + 16*li}" text-anchor="end" fill="{color}" font-size="12">{label}</text>'
+            )
+        parts.append("</svg>")
+        html = "<html><body>" + "".join(parts) + "</body></html>"
+        atomic_write_bytes(path, html.encode())
+
+
+def load_or_build_index(config: BenchConfig, base: np.ndarray, seed: int = 42):
+    """Disk-cached index build with timing (bench.rs:208-266)."""
+    algo = config.algorithm.name
+    cache = config.index_cache
+    if cache and os.path.exists(cache):
+        t0 = time.perf_counter()
+        cls = {"Flat": FlatIndex, "HNSW": HNSWIndex, "IVF": IVFIndex}[algo]
+        index = cls.load(cache, external_vectors=base) if algo != "Flat" else FlatIndex.from_numpy(base, config.dist)
+        print(f"Loaded index from {cache} in {time.perf_counter()-t0:.2f}s")
+        return index, None
+    t0 = time.perf_counter()
+    if algo == "Flat":
+        index = FlatIndex.from_numpy(base, config.dist)
+    elif algo == "HNSW":
+        index = HNSWIndex.build(base, config.dist, config.algorithm.hnsw, seed=seed)
+    elif algo == "IVF":
+        index = IVFIndex.from_numpy(base, config.dist, config.algorithm.ivf, seed=seed)
+    else:
+        raise ValueError(algo)
+    build_s = time.perf_counter() - t0
+    print(f"Built {algo} index in {build_s:.2f}s")
+    if cache and algo != "Flat":
+        index.save(cache, include_vectors=False)
+    return index, build_s
+
+
+def load_or_build_pq(config: BenchConfig, base: np.ndarray, seed: int = 42):
+    if config.pq is None:
+        return None, None
+    cache = config.pq_cache
+    if cache and os.path.exists(cache):
+        t0 = time.perf_counter()
+        pq = PQTable.load(cache)
+        print(f"Loaded PQ table from {cache} in {time.perf_counter()-t0:.2f}s")
+        return pq, None
+    t0 = time.perf_counter()
+    pq = PQTable.train(base, config.pq, seed=seed)
+    build_s = time.perf_counter() - t0
+    print(f"Trained PQ table in {build_s:.2f}s")
+    if cache:
+        pq.save(cache)
+    return pq, build_s
+
+
+def run_bench(
+    config: BenchConfig,
+    repeat: int = 1,
+    batch: int = 0,
+    out_title: str | None = None,
+) -> dict:
+    base = io.load_raw(config.base.data_path, config.base.dim, config.base.data_type, config.base.limit).astype(np.float32)
+    test = io.load_raw(config.test.data_path, config.test.dim, config.test.data_type, config.test.limit).astype(np.float32)
+    print(f"Loaded base ({len(base)}) and test ({len(test)}) sets.")
+
+    gt = GroundTruth.load(config.gnd_path)
+    k = gt.k
+
+    index, _ = load_or_build_index(config, base)
+    pq, _ = load_or_build_pq(config, base)
+
+    def search_all(ef: int) -> np.ndarray:
+        B = batch or len(test)
+        out = []
+        for s in range(0, len(test), B):
+            q = test[s : s + B]
+            if pq is not None:
+                _, ids = index.knn_pq_batch(q, k, ef, pq)
+            elif isinstance(index, HNSWIndex):
+                _, ids = index.knn_with_ef_batch(q, k, ef)
+            elif isinstance(index, IVFIndex):
+                _, ids = index.knn_batch(q, k, n_probes=ef)
+            else:
+                _, ids = index.knn_batch(q, k)
+            out.append(ids)
+        return np.concatenate(out, axis=0)
+
+    efs, times, recalls = [], [], []
+    for ef in config.ef:
+        search_all(ef)  # warm-up/compile
+        t0 = time.perf_counter()
+        for _ in range(repeat):
+            ids = search_all(ef)
+        elapsed = time.perf_counter() - t0
+        ms_per_query = elapsed / (repeat * len(test)) * 1000.0
+        recall = gt.batch_recall(ids)
+        print(f"ef: {ef}, Average Search Time: {ms_per_query:.4f}ms, Average recall: {recall:.4f}")
+        efs.append(ef)
+        times.append(ms_per_query)
+        recalls.append(recall)
+
+    if config.bench_output:
+        rl = ResultList.load(config.bench_output)
+        if out_title:
+            rl.title = out_title
+        elif not rl.title:
+            rl.title = f"Bench (N={len(base)}, dim={base.shape[1]}, device-batched)"
+        rl.update(config.label, efs, times, recalls)
+        rl.save(config.bench_output)
+        rl.plot_html(os.path.splitext(config.bench_output)[0] + ".html")
+        print(f"Results merged into {config.bench_output}")
+    return {"label": config.label, "ef": efs, "search_time": times, "recall": recalls}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="Index benchmark (examples/bench.rs parity)")
+    ap.add_argument("config", help="Path to the bench TOML config")
+    ap.add_argument("-r", "--repeat", type=int, default=1)
+    ap.add_argument("-b", "--batch", type=int, default=0, help="query batch size (0 = all)")
+    args = ap.parse_args(argv)
+    config = BenchConfig.load_from_toml_file(args.config)
+    run_bench(config, repeat=args.repeat, batch=args.batch)
+
+
+if __name__ == "__main__":
+    main()

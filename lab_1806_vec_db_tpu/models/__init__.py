@@ -1,0 +1,18 @@
+from .store import VecStore
+from .flat import FlatIndex
+from .pq_table import PQTable
+from .ivf import IVFIndex
+from .hnsw import HNSWIndex
+from .kmeans import KMeans
+from . import base, native
+
+__all__ = [
+    "VecStore",
+    "FlatIndex",
+    "PQTable",
+    "IVFIndex",
+    "HNSWIndex",
+    "KMeans",
+    "base",
+    "native",
+]

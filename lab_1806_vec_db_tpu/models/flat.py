@@ -1,0 +1,126 @@
+"""Flat (brute-force exact) index.
+
+Parity target: `FlatIndex` (reference: src/index_algorithm/flat_index.rs).
+The reference's per-vector scalar scan loop (flat_index.rs:48-57) becomes a
+blocked (B, dim) x (dim, N) MXU GEMM with a running top-k
+(`ops/topk.knn_scan`).  `knn_pq` is a blocked ADC scan followed by an exact
+rerank of the top max(ef, k) (flat_index.rs:84-104).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .store import VecStore
+from .pq_table import PQTable
+from ..ops import topk as T
+from ..utils import serde
+from ..utils.candidates import CandidatePair, pairs_from_arrays
+
+
+class FlatIndex:
+    algorithm = "Flat"
+
+    def __init__(self, dim: int, dist: str, capacity: int = 0):
+        self.store = VecStore(dim, dist, capacity)
+
+    # ---- construction ----
+    @classmethod
+    def from_numpy(cls, vectors: np.ndarray, dist: str) -> "FlatIndex":
+        idx = cls(vectors.shape[1], dist, capacity=len(vectors))
+        if len(vectors):
+            idx.store.batch_push(vectors)
+        return idx
+
+    @classmethod
+    def from_store(cls, store: VecStore) -> "FlatIndex":
+        idx = cls.__new__(cls)
+        idx.store = store
+        return idx
+
+    @property
+    def dim(self) -> int:
+        return self.store.dim
+
+    @property
+    def dist(self) -> str:
+        return self.store.dist
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    def add(self, vec) -> int:
+        return self.store.push(vec)
+
+    def batch_add(self, vecs) -> list[int]:
+        return self.store.batch_push(vecs)
+
+    # ---- search ----
+    def knn_batch(self, queries: np.ndarray, k: int):
+        """Batched exact kNN -> ((B, k) dists, (B, k) ids), -1 padded."""
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        vecs, cache = self.store.device()
+        d, i = T.knn_scan(
+            jnp.asarray(queries), vecs, cache, jnp.int32(len(self.store)), k, self.dist
+        )
+        return np.asarray(d), np.asarray(i)
+
+    def knn(self, query, k: int) -> list[CandidatePair]:
+        # Single-query fast path: the native serial scan avoids device
+        # dispatch latency for interactive lookups.
+        from . import native
+
+        res = native.flat_knn_single(self.store, np.asarray(query, np.float32), k)
+        if res is not None:
+            ids, dists = res
+            return [CandidatePair(int(i_), float(d_)) for i_, d_ in zip(ids, dists)]
+        d, i = self.knn_batch(query, k)
+        return pairs_from_arrays(d[0], i[0], k)
+
+    def knn_with_ef(self, query, k: int, ef: int) -> list[CandidatePair]:
+        """Flat search ignores ef (reference: src/database/dynamic_index.rs:75-80)."""
+        return self.knn(query, k)
+
+    def knn_pq_batch(self, queries: np.ndarray, k: int, ef: int, pq: PQTable):
+        """ADC scan + exact rerank (flat_index.rs:84-104)."""
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        q_dev = jnp.asarray(queries)
+        lookup, q_norms = pq.create_lookup(q_dev)
+        n_cand = max(ef, k)
+        _, cand_ids = pq.adc_scan(lookup, q_norms, n_cand)
+        vecs, cache = self.store.device()
+        d, i = T.knn_gathered(q_dev, vecs, cand_ids, k, self.dist, base_cache=cache)
+        return np.asarray(d), np.asarray(i)
+
+    def knn_pq(self, query, k: int, ef: int, pq: PQTable) -> list[CandidatePair]:
+        d, i = self.knn_pq_batch(query, k, ef, pq)
+        return pairs_from_arrays(d[0], i[0], k)
+
+    # ---- serde (flat_index.rs:72-83; external-vec-set form stores only config) ----
+    def state(self, include_vectors: bool = True) -> tuple[dict, dict]:
+        arrays = self.store.state_arrays(include_vectors)
+        meta = {
+            "algorithm": "Flat",
+            "dim": self.dim,
+            "dist": self.dist,
+            "n": len(self.store),
+        }
+        return arrays, meta
+
+    @classmethod
+    def from_state(cls, arrays: dict, meta: dict, external_vectors: np.ndarray | None = None):
+        vecs = arrays.get("vectors", external_vectors)
+        if vecs is None:
+            raise ValueError("FlatIndex state has no vectors and none were provided")
+        idx = cls.from_numpy(np.asarray(vecs), meta["dist"])
+        return idx
+
+    def save(self, path, include_vectors: bool = True) -> None:
+        arrays, meta = self.state(include_vectors)
+        serde.save_arrays(path, arrays, meta)
+
+    @classmethod
+    def load(cls, path, external_vectors: np.ndarray | None = None) -> "FlatIndex":
+        arrays, meta = serde.load_arrays(path)
+        return cls.from_state(arrays, meta, external_vectors)

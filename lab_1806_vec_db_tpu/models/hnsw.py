@@ -1,0 +1,753 @@
+"""HNSW index: batched beam-search traversal + freeze-and-patch bulk build.
+
+Parity target: `HNSWIndex` (reference: src/index_algorithm/hnsw_index.rs).
+
+TPU re-design:
+- Graph storage is already dense in the reference (flat u32 link arrays,
+  hnsw_index.rs:112-124); here level-0 links are a device-resident
+  `(cap, max_m0)` int32 matrix (-1 padded) and each upper level is a compact
+  `(n_l_cap, M)` matrix plus a `(cap,)` id->row map, so neighbor expansion is
+  a single gather.
+- Search: the sequential best-first loop (hnsw_index.rs:258-291) becomes
+  batched lock-step beam search (`ops/beam.py`); greedy descent through the
+  upper levels (hnsw_index.rs:306-350) is a batched hill-climb.
+- Build: keeps the reference's freeze-and-patch chunk scheme
+  (`add_parallel`, hnsw_index.rs:399-457): a chunk of new nodes searches the
+  frozen pre-chunk graph (on device, all nodes at once), is patched with
+  intra-chunk brute-force distances (one GEMM), then links are committed with
+  the batched heuristic kernels (`ops/graph.py`) — the reference's serial
+  link commit (hnsw_index.rs:443-447) becomes two batched scatter updates.
+- Config derivation matches hnsw_index.rs:495-537: max_m0 = 2*M,
+  ef_construction >= max_m0, default_ef = ef_construction/2,
+  level ~ floor(-ln(U) * 1/ln(M)) (hnsw_index.rs:144-147).
+
+Known divergence (documented): the candidate list fed to the neighbor
+heuristic is truncated to the top `HEURISTIC_CAND` (default 64) of the
+ef_construction beam; the reference walks the full list
+(candidate_pair.rs:85-99) but with M=16 selection virtually never reaches
+past the first few dozen sorted candidates.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .store import VecStore, _round_cap
+from .pq_table import PQTable
+from ..ops import distance as D
+from ..ops import beam as BM
+from ..ops import graph as G
+from ..ops import topk as T
+from ..utils.config import HNSWConfig
+from ..utils import serde
+from ..utils.candidates import CandidatePair, pairs_from_arrays
+
+HEURISTIC_CAND = 64
+CHUNK_LADDER = (1, 4, 16, 64, 256, 1024)
+START_BATCH_SINCE = 1000  # hnsw_index.rs:506
+
+
+def _pad_ladder(n: int) -> int:
+    for c in CHUNK_LADDER:
+        if n <= c:
+            return c
+    return CHUNK_LADDER[-1]
+
+
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+# --------------------------------------------------------------------------
+# jitted kernels
+# --------------------------------------------------------------------------
+
+
+def _make_node_dist(q, q_cache, vecs, vcache, dist):
+    def nd(ids):  # (B, C) -> (B, C)
+        v = vecs[ids]
+        dots = jnp.einsum("bd,bcd->bc", q, v, preferred_element_type=jnp.float32, precision=D.PRECISION)
+        vc = vcache[ids]
+        if dist == "l2sqr":
+            return jnp.maximum(q_cache[:, None] + vc - 2.0 * dots, 0.0)
+        return 1.0 - dots / jnp.maximum(q_cache[:, None] * vc, 1e-10)
+
+    return nd
+
+
+@partial(jax.jit, static_argnames=("ef", "iters", "expand", "dist"))
+def _beam0(q, q_cache, vecs, vcache, links0, entry, ef, iters, expand, dist):
+    nd = _make_node_dist(q, q_cache, vecs, vcache, dist)
+    lf = lambda ids: links0[ids]
+    return BM.beam_search(entry, nd, lf, ef, iters, expand)
+
+
+@partial(jax.jit, static_argnames=("ef", "iters", "expand", "dist"))
+def _beam_upper(q, q_cache, vecs, vcache, links_l, pos_l, entry, ef, iters, expand, dist):
+    nd = _make_node_dist(q, q_cache, vecs, vcache, dist)
+
+    def lf(ids):
+        rows = pos_l[ids]
+        out = links_l[jnp.maximum(rows, 0)]
+        return jnp.where((rows >= 0)[..., None], out, -1)
+
+    return BM.beam_search(entry, nd, lf, ef, iters, expand)
+
+
+@partial(jax.jit, static_argnames=("iters", "dist"))
+def _greedy_upper(q, q_cache, vecs, vcache, links_l, pos_l, entry, iters, dist):
+    nd = _make_node_dist(q, q_cache, vecs, vcache, dist)
+
+    def lf(ids):
+        rows = pos_l[ids]
+        out = links_l[jnp.maximum(rows, 0)]
+        return jnp.where((rows >= 0)[..., None], out, -1)
+
+    return BM.greedy_descent(entry, nd, lf, iters)
+
+
+@partial(jax.jit, static_argnames=("ef", "iters", "expand", "dist"))
+def _beam0_pq(lookup, q_norms, codes, cb_sq, links0, entry, ef, iters, expand, dist):
+    from ..ops import pq as P
+
+    def nd(ids):
+        c = codes[ids]
+        return P.adc_lookup_codes(c, lookup, cb_sq, dist, q_norms)
+
+    lf = lambda ids: links0[ids]
+    return BM.beam_search(entry, nd, lf, ef, iters, expand)
+
+
+@partial(jax.jit, static_argnames=("iters", "dist"))
+def _greedy_upper_pq(lookup, q_norms, codes, cb_sq, links_l, pos_l, entry, iters, dist):
+    from ..ops import pq as P
+
+    def nd(ids):
+        c = codes[ids]
+        return P.adc_lookup_codes(c, lookup, cb_sq, dist, q_norms)
+
+    def lf(ids):
+        rows = pos_l[ids]
+        out = links_l[jnp.maximum(rows, 0)]
+        return jnp.where((rows >= 0)[..., None], out, -1)
+
+    return BM.greedy_descent(entry, nd, lf, iters)
+
+
+@partial(jax.jit, static_argnames=("limit", "dist", "n_cand"))
+def _select_links(
+    vecs,
+    chunk_vec,  # (c, dim) chunk vectors
+    chunk_cache,  # (c,)
+    beam_d,  # (c, ef)
+    beam_i,  # (c, ef)
+    peer_ids,  # (c, c) chunk member ids (row-constant)
+    peer_d,  # (c, c) chunk pairwise distances
+    peer_mask,  # (c, c) peer j valid for node i at this level
+    limit: int,
+    dist: str,
+    n_cand: int,
+):
+    """Merge frozen-graph beam candidates with intra-chunk peers, sort, and
+    run the neighbor-selection heuristic.  Returns (c, limit) selected ids.
+
+    This is the patch step of add_parallel (hnsw_index.rs:427-438) fused with
+    connect_new_links's forward selection (hnsw_index.rs:226-235).
+    """
+    pd = jnp.where(peer_mask, peer_d, jnp.inf)
+    pi = jnp.where(peer_mask, peer_ids, -1)
+    all_d = jnp.concatenate([beam_d, pd], axis=1)
+    all_i = jnp.concatenate([beam_i, pi], axis=1)
+    # dedup (a peer may also appear in the beam since the chunk is pushed
+    # into the graph arrays before searching; keep the earliest copy)
+    Ctot = all_i.shape[1]
+    eq = all_i[:, :, None] == all_i[:, None, :]
+    tri = jnp.tril(jnp.ones((Ctot, Ctot), bool), k=-1)
+    dup = jnp.any(eq & tri[None], axis=2) & (all_i >= 0)
+    all_d = jnp.where(dup, jnp.inf, all_d)
+    all_i = jnp.where(dup, -1, all_i)
+
+    sd, pos = jax.lax.top_k(-all_d, n_cand)
+    cand_d = -sd
+    cand_i = jnp.take_along_axis(all_i, pos, axis=1)
+    cand_i = jnp.where(jnp.isfinite(cand_d), cand_i, -1)
+    pair = G.pairwise_among(vecs, cand_i, dist)
+    sel, _ = G.heuristic_select(cand_i, cand_d, pair, limit)
+    return sel
+
+
+# --------------------------------------------------------------------------
+
+
+class _UpperLevel:
+    """Compact link storage for one level >= 1."""
+
+    def __init__(self, m: int, cap_total: int):
+        self.m = m
+        self.n = 0
+        self.cap = 16
+        self.ids = np.full(self.cap, -1, np.int32)
+        self.links = np.full((self.cap, m), -1, np.int32)
+        self.pos = np.full(cap_total, -1, np.int32)
+        self._dev_links = None
+        self._dev_pos = None
+        self.dirty = True
+
+    def ensure_member(self, node: int) -> int:
+        if self.pos[node] >= 0:
+            return int(self.pos[node])
+        if self.n == self.cap:
+            self.cap *= 2
+            new_ids = np.full(self.cap, -1, np.int32)
+            new_ids[: self.n] = self.ids[: self.n]
+            self.ids = new_ids
+            new_links = np.full((self.cap, self.m), -1, np.int32)
+            new_links[: self.n] = self.links[: self.n]
+            self.links = new_links
+        row = self.n
+        self.ids[row] = node
+        self.pos[node] = row
+        self.n += 1
+        self.dirty = True
+        return row
+
+    def grow_total(self, cap_total: int) -> None:
+        if cap_total > len(self.pos):
+            new_pos = np.full(cap_total, -1, np.int32)
+            new_pos[: len(self.pos)] = self.pos
+            self.pos = new_pos
+            self.dirty = True
+
+    def device(self):
+        if self.dirty or self._dev_links is None:
+            self._dev_links = jnp.asarray(self.links)
+            self._dev_pos = jnp.asarray(self.pos)
+            self.dirty = False
+        return self._dev_links, self._dev_pos
+
+
+@dataclass
+class _InnerConfig:
+    """Computed config (hnsw_index.rs:74-96)."""
+
+    dim: int
+    dist: str
+    m: int
+    max_m0: int
+    ef_construction: int
+    default_ef: int
+    inv_log_m: float
+
+
+class HNSWIndex:
+    algorithm = "HNSW"
+
+    def __init__(self, dim: int, dist: str, config: HNSWConfig | None = None, seed: int | None = None):
+        config = config or HNSWConfig()
+        m = min(config.M, 10_000)
+        max_m0 = m * 2
+        efc = max(config.ef_construction, max_m0)
+        self.config = _InnerConfig(
+            dim=dim,
+            dist=dist,
+            m=m,
+            max_m0=max_m0,
+            ef_construction=efc,
+            default_ef=efc // 2,
+            inv_log_m=1.0 / math.log(m),
+        )
+        self.store = VecStore(dim, dist, capacity=max(config.max_elements, 8))
+        cap = self.store.capacity
+        self.levels = np.zeros(cap, np.int32)
+        self.links0 = np.full((cap, max_m0), -1, np.int32)
+        self.upper: list[_UpperLevel] = []  # index l-1 => level l
+        self.entry_point: int | None = None
+        self.enter_level: int | None = None
+        self.rng = np.random.default_rng(seed)
+        self._dev_links0: jax.Array | None = None
+        self._links0_dirty_rows: set[int] = set()
+        self._links0_full_dirty = True
+
+    # ---- basic accessors ----
+    @property
+    def dim(self) -> int:
+        return self.config.dim
+
+    @property
+    def dist(self) -> str:
+        return self.config.dist
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    def set_default_ef(self, ef: int) -> None:
+        assert ef > 0
+        self.config.default_ef = ef
+
+    # ---- capacity management ----
+    def _grow(self, n_needed: int) -> None:
+        self.store._grow_to(n_needed)
+        cap = self.store.capacity
+        if cap > len(self.levels):
+            new_levels = np.zeros(cap, np.int32)
+            new_levels[: len(self.levels)] = self.levels
+            self.levels = new_levels
+            new_links = np.full((cap, self.config.max_m0), -1, np.int32)
+            new_links[: self.links0.shape[0]] = self.links0
+            self.links0 = new_links
+            for ul in self.upper:
+                ul.grow_total(cap)
+            self._dev_links0 = None
+            self._links0_full_dirty = True
+            self._links0_dirty_rows.clear()
+
+    def _links0_device(self) -> jax.Array:
+        if self._dev_links0 is None or self._links0_full_dirty:
+            self._dev_links0 = jnp.asarray(self.links0)
+            self._links0_full_dirty = False
+            self._links0_dirty_rows.clear()
+        elif self._links0_dirty_rows:
+            rows = np.fromiter(self._links0_dirty_rows, dtype=np.int64)
+            self._dev_links0 = self._dev_links0.at[jnp.asarray(rows)].set(
+                jnp.asarray(self.links0[rows])
+            )
+            self._links0_dirty_rows.clear()
+        return self._dev_links0
+
+    def _write_links0(self, rows: np.ndarray, values: np.ndarray) -> None:
+        self.links0[rows] = values
+        if self._links0_full_dirty:
+            return
+        self._links0_dirty_rows.update(int(r) for r in rows)
+        if len(self._links0_dirty_rows) > max(2048, self.links0.shape[0] // 8):
+            self._links0_full_dirty = True
+            self._links0_dirty_rows.clear()
+
+    def _rand_level(self) -> int:
+        u = self.rng.random()
+        u = max(u, 1e-12)
+        return int(math.floor(-math.log(u) * self.config.inv_log_m))
+
+    # ---- build ----
+    def add(self, vec) -> int:
+        return self.batch_add(np.asarray(vec, dtype=np.float32)[None, :])[0]
+
+    def batch_add(self, vecs, progress=None) -> list[int]:
+        """Chunked freeze-and-patch insert (hnsw_index.rs:459-475).
+
+        Chunk size follows the reference's rule `min(batch, n/M)`
+        (hnsw_index.rs:391-397) with the device batch ladder replacing
+        `4*num_threads`.
+        """
+        vecs = np.atleast_2d(np.asarray(vecs, dtype=np.float32))
+        n_new = len(vecs)
+        out: list[int] = []
+        cur = 0
+        while cur < n_new:
+            n_now = len(self.store)
+            # n/M growth rule: young graphs get small chunks (high insertion
+            # quality), converging to the 1024-row device batch
+            size = max(1, min(n_now // self.config.m, CHUNK_LADDER[-1]))
+            size = min(size, n_new - cur)
+            self._insert_chunk(vecs[cur : cur + size])
+            cur += size
+            out.extend(range(n_now, n_now + size))
+            if progress is not None:
+                progress(cur, n_new)
+        return out
+
+    @classmethod
+    def build(
+        cls,
+        vectors: np.ndarray,
+        dist: str,
+        config: HNSWConfig | None = None,
+        seed: int | None = None,
+        progress=None,
+    ) -> "HNSWIndex":
+        """Bulk build (hnsw_index.rs:595-611)."""
+        config = config or HNSWConfig()
+        if config.max_elements == 0:
+            config = HNSWConfig(
+                max_elements=len(vectors), ef_construction=config.ef_construction, M=config.M
+            )
+        index = cls(vectors.shape[1], dist, config, seed)
+        index.batch_add(vectors, progress=progress)
+        return index
+
+    def _insert_chunk(self, vecs: np.ndarray) -> None:
+        c = len(vecs)
+        cfg = self.config
+        n_before = len(self.store)
+        self._grow(n_before + c)
+        ids = np.array(self.store.batch_push(vecs), dtype=np.int32)
+        levels = np.array([self._rand_level() for _ in range(c)], dtype=np.int32)
+        self.levels[ids] = levels
+        for i, lv in zip(ids, levels):
+            for l in range(1, lv + 1):
+                self._upper(l).ensure_member(int(i))
+
+        if self.entry_point is None:
+            # first vector initializes the entry point (hnsw_index.rs:542-551)
+            self.entry_point = int(ids[0])
+            self.enter_level = int(levels[0])
+            if c == 1:
+                return
+            # insert the rest normally against the 1-node graph
+            rest = np.arange(1, c)
+            self._insert_ids(ids[rest], levels[rest])
+            return
+        self._insert_ids(ids, levels)
+
+    def _upper(self, level: int) -> _UpperLevel:
+        while len(self.upper) < level:
+            ul = _UpperLevel(self.config.m, self.store.capacity)
+            self.upper.append(ul)
+        return self.upper[level - 1]
+
+    def _insert_ids(self, ids: np.ndarray, levels: np.ndarray) -> None:
+        cfg = self.config
+        c = len(ids)
+        c_pad = _pad_ladder(c)
+        enter_level = self.enter_level
+        entry_point = self.entry_point
+
+        vecs, vcache = self.store.device()
+        links0 = self._links0_device()
+
+        # padded chunk (dummy rows replicate the entry point, results ignored)
+        pids = np.full(c_pad, entry_point, np.int32)
+        pids[:c] = ids
+        plevels = np.full(c_pad, -1, np.int32)
+        plevels[:c] = levels
+
+        q = vecs[jnp.asarray(pids)]
+        q_cache = vcache[jnp.asarray(pids)]
+
+        efc = cfg.ef_construction
+        iters = 2 * efc + 64
+
+        cur = jnp.full((c_pad,), entry_point, jnp.int32)
+        cand_by_level: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for level in range(enter_level, -1, -1):
+            need = plevels >= level
+            if level == 0:
+                bd, bi = _beam0(
+                    q, q_cache, vecs, vcache, links0, cur, efc, iters, 1, cfg.dist
+                )
+                cand_by_level[0] = (np.asarray(bd), np.asarray(bi))
+            else:
+                ul = self._upper(level)
+                links_l, pos_l = ul.device()
+                desc = _greedy_upper(
+                    q, q_cache, vecs, vcache, links_l, pos_l, cur, 256, cfg.dist
+                )
+                if need.any():
+                    bd, bi = _beam_upper(
+                        q, q_cache, vecs, vcache, links_l, pos_l, cur, efc, iters, 1, cfg.dist
+                    )
+                    cand_by_level[level] = (np.asarray(bd), np.asarray(bi))
+                    cur = jnp.where(jnp.asarray(need), bi[:, 0], desc)
+                else:
+                    cur = desc
+
+        # intra-chunk patch distances (hnsw_index.rs:430-437)
+        from ..ops import distance as D
+
+        chunk_vec = vecs[jnp.asarray(pids)]
+        peer_d = np.asarray(
+            D.pairwise(chunk_vec, chunk_vec, cfg.dist)
+        )  # (c_pad, c_pad) — row i, col j = d(i, j)
+        peer_ids_np = np.broadcast_to(pids[None, :], (c_pad, c_pad)).copy()
+
+        links0_rows_to_write: dict[int, np.ndarray] = {}
+        for level in sorted(cand_by_level.keys(), reverse=True):
+            bd, bi = cand_by_level[level]
+            need = plevels >= level
+            # peer mask: j earlier than i in chunk order, level_j >= level
+            order = np.arange(c_pad)
+            earlier = order[None, :] < order[:, None]
+            pm = earlier & (plevels[None, :] >= level) & need[:, None]
+            sel = _select_links(
+                vecs,
+                chunk_vec,
+                q_cache,
+                jnp.asarray(bd),
+                jnp.asarray(bi),
+                jnp.asarray(peer_ids_np),
+                jnp.asarray(peer_d),
+                jnp.asarray(pm),
+                cfg.m,
+                cfg.dist,
+                min(HEURISTIC_CAND, bd.shape[1] + c_pad),
+            )
+            sel = np.asarray(sel)  # (c_pad, m)
+
+            limit = cfg.max_m0 if level == 0 else cfg.m
+            # forward links (initially limited to m even at level 0,
+            # hnsw_index.rs:230-233)
+            fwd_rows = []
+            fwd_vals = []
+            rev_edges: dict[int, list[int]] = {}
+            for r in range(c):
+                node = int(ids[r])
+                if not need[r]:
+                    continue
+                row_sel = sel[r]
+                row_sel = row_sel[row_sel >= 0]
+                # guard: never link to self (dummy padding could inject it)
+                row_sel = row_sel[row_sel != node]
+                if level == 0:
+                    padded = np.full(cfg.max_m0, -1, np.int32)
+                    padded[: len(row_sel)] = row_sel
+                    fwd_rows.append(node)
+                    fwd_vals.append(padded)
+                else:
+                    ul = self._upper(level)
+                    rrow = ul.ensure_member(node)
+                    ul.links[rrow] = -1
+                    ul.links[rrow, : len(row_sel)] = row_sel
+                    ul.dirty = True
+                for p in row_sel:
+                    rev_edges.setdefault(int(p), []).append(node)
+
+            if fwd_rows:
+                self._write_links0(np.array(fwd_rows), np.array(fwd_vals))
+
+            # reverse links: batched arrange (hnsw_index.rs:204-239)
+            if rev_edges:
+                self._apply_reverse(level, rev_edges, limit)
+
+        # entry point update (hnsw_index.rs:448-455)
+        for r in range(c):
+            if int(levels[r]) > self.enter_level:
+                self.enter_level = int(levels[r])
+                self.entry_point = int(ids[r])
+
+    _REV_ADD_CAP = 16  # max new candidates folded into one arrange round
+
+    def _apply_reverse(self, level: int, rev_edges: dict[int, list[int]], limit: int) -> None:
+        """Batched reverse-link arrangement; large add-lists are split into
+        rounds of at most _REV_ADD_CAP to bound compile variants and to stay
+        close to the reference's incremental arrange semantics."""
+        cfg = self.config
+        pending = {p: list(v) for p, v in rev_edges.items()}
+        ul = self._upper(level) if level > 0 else None
+        vecs, _ = self.store.device()
+        while pending:
+            round_edges = {}
+            for p in list(pending.keys()):
+                adds = pending[p]
+                round_edges[p] = adds[: self._REV_ADD_CAP]
+                rest = adds[self._REV_ADD_CAP :]
+                if rest:
+                    pending[p] = rest
+                else:
+                    del pending[p]
+
+            pivots = sorted(round_edges.keys())
+            P = len(pivots)
+            A = max(len(v) for v in round_edges.values())
+            A_pad = _pow2(A)
+            P_pad = _pow2(P)
+
+            new_ids = np.full((P_pad, A_pad), -1, np.int32)
+            piv = np.zeros(P_pad, np.int32)
+            width = cfg.max_m0 if level == 0 else cfg.m
+            rows = np.full((P_pad, width), -1, np.int32)
+            for idx, p in enumerate(pivots):
+                piv[idx] = p
+                adds = round_edges[p]
+                new_ids[idx, : len(adds)] = adds
+                if level == 0:
+                    rows[idx] = self.links0[p]
+                else:
+                    rrow = ul.ensure_member(p)
+                    rows[idx] = ul.links[rrow]
+            # dummy rows: pivot with no adds keeps its links unchanged
+            if P_pad > P:
+                piv[P:] = pivots[0]
+                rows[P:] = rows[0]
+
+            new_rows = np.asarray(
+                G.arrange_links_batch(
+                    vecs,
+                    jnp.asarray(rows),
+                    jnp.asarray(piv),
+                    jnp.asarray(new_ids),
+                    cfg.dist,
+                    width,
+                )
+            )
+            if level == 0:
+                self._write_links0(np.array(pivots), new_rows[:P])
+            else:
+                for idx, p in enumerate(pivots):
+                    rrow = ul.ensure_member(p)
+                    ul.links[rrow] = new_rows[idx]
+                ul.dirty = True
+
+    # ---- search ----
+    def _descend_to_level0(self, q, q_cache, vecs, vcache):
+        B = q.shape[0]
+        cur = jnp.full((B,), self.entry_point, jnp.int32)
+        for level in range(self.enter_level, 0, -1):
+            ul = self._upper(level)
+            links_l, pos_l = ul.device()
+            cur = _greedy_upper(q, q_cache, vecs, vcache, links_l, pos_l, cur, 256, self.dist)
+        return cur
+
+    def knn_with_ef_batch(self, queries: np.ndarray, k: int, ef: int, expand: int = 1):
+        """Batched kNN (hnsw_index.rs:624-633): greedy descent to level 0 +
+        one beam search with ef.max(k)."""
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        B = queries.shape[0]
+        if len(self.store) == 0 or self.entry_point is None:
+            return (
+                np.full((B, k), np.inf, np.float32),
+                np.full((B, k), -1, np.int32),
+            )
+        ef = max(ef, k)
+        from ..ops import distance as D
+
+        vecs, vcache = self.store.device()
+        links0 = self._links0_device()
+        q = jnp.asarray(queries)
+        q_cache = D.dist_cache(q, self.dist)
+        cur = self._descend_to_level0(q, q_cache, vecs, vcache)
+        iters = 2 * ef + 64
+        bd, bi = _beam0(q, q_cache, vecs, vcache, links0, cur, ef, iters, expand, self.dist)
+        return np.asarray(bd[:, :k]), np.asarray(bi[:, :k])
+
+    def knn_batch(self, queries: np.ndarray, k: int):
+        return self.knn_with_ef_batch(queries, k, self.config.default_ef)
+
+    def knn(self, query, k: int) -> list[CandidatePair]:
+        d, i = self.knn_batch(query, k)
+        return pairs_from_arrays(d[0], i[0], k)
+
+    def knn_with_ef(self, query, k: int, ef: int) -> list[CandidatePair]:
+        # Single-query fast path through the native serial engine (same
+        # dense link arrays; microsecond latency vs ~ms device dispatch).
+        from . import native
+
+        if len(self.store) > 0:
+            res = native.hnsw_knn_single(self, np.asarray(query, np.float32), k, ef)
+            if res is not None:
+                ids, dists = res
+                return [
+                    CandidatePair(int(i_), float(d_)) for i_, d_ in zip(ids, dists)
+                ]
+        d, i = self.knn_with_ef_batch(queries=np.asarray(query, np.float32), k=k, ef=ef)
+        return pairs_from_arrays(d[0], i[0], k)
+
+    def knn_pq_batch(self, queries: np.ndarray, k: int, ef: int, pq: PQTable, expand: int = 1):
+        """HNSW traversal with ADC distances + exact rerank
+        (hnsw_index.rs:672-697)."""
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        B = queries.shape[0]
+        if len(self.store) == 0 or self.entry_point is None:
+            return (
+                np.full((B, k), np.inf, np.float32),
+                np.full((B, k), -1, np.int32),
+            )
+        ef = max(ef, k)
+        q_dev = jnp.asarray(queries)
+        lookup, q_norms = pq.create_lookup(q_dev)
+        codes, _, cb_sq = pq.device()
+        # pad codes to store capacity so gathers stay in-bounds
+        cap = self.store.capacity
+        if codes.shape[0] < cap:
+            codes = jnp.pad(codes, ((0, cap - codes.shape[0]), (0, 0)))
+        links0 = self._links0_device()
+        cur = jnp.full((B,), self.entry_point, jnp.int32)
+        for level in range(self.enter_level, 0, -1):
+            ul = self._upper(level)
+            links_l, pos_l = ul.device()
+            cur = _greedy_upper_pq(
+                lookup, q_norms, codes, cb_sq, links_l, pos_l, cur, 256, self.dist
+            )
+        iters = 2 * ef + 64
+        bd, bi = _beam0_pq(
+            lookup, q_norms, codes, cb_sq, links0, cur, ef, iters, expand, self.dist
+        )
+        # exact rerank of the ef beam (candidate_pair.rs:102-108)
+        vecs, vcache = self.store.device()
+        d, i = T.knn_gathered(q_dev, vecs, bi, k, self.dist, base_cache=vcache)
+        return np.asarray(d), np.asarray(i)
+
+    def knn_pq(self, query, k: int, ef: int, pq: PQTable) -> list[CandidatePair]:
+        d, i = self.knn_pq_batch(query, k, ef, pq)
+        return pairs_from_arrays(d[0], i[0], k)
+
+    # ---- serde (hnsw_index.rs:635-670) ----
+    def state(self, include_vectors: bool = True) -> tuple[dict, dict]:
+        n = len(self.store)
+        arrays = self.store.state_arrays(include_vectors)
+        arrays["hnsw_levels"] = self.levels[:n].copy()
+        arrays["hnsw_links0"] = self.links0[:n].copy()
+        for l, ul in enumerate(self.upper, start=1):
+            arrays[f"hnsw_upper_ids_{l}"] = ul.ids[: ul.n].copy()
+            arrays[f"hnsw_upper_links_{l}"] = ul.links[: ul.n].copy()
+        meta = {
+            "algorithm": "HNSW",
+            "dim": self.dim,
+            "dist": self.dist,
+            "n": n,
+            "hnsw": {
+                "M": self.config.m,
+                "ef_construction": self.config.ef_construction,
+                "default_ef": self.config.default_ef,
+                "entry_point": self.entry_point,
+                "enter_level": self.enter_level,
+                "num_upper_levels": len(self.upper),
+            },
+        }
+        return arrays, meta
+
+    @classmethod
+    def from_state(cls, arrays: dict, meta: dict, external_vectors=None) -> "HNSWIndex":
+        vecs = arrays.get("vectors", external_vectors)
+        if vecs is None:
+            raise ValueError("HNSWIndex state has no vectors and none were provided")
+        vecs = np.asarray(vecs)
+        h = meta["hnsw"]
+        cfg = HNSWConfig(
+            max_elements=meta["n"], ef_construction=h["ef_construction"], M=h["M"]
+        )
+        index = cls(meta["dim"], meta["dist"], cfg)
+        index.store.batch_push(vecs)
+        n = meta["n"]
+        index.levels[:n] = arrays["hnsw_levels"]
+        index.links0[:n] = arrays["hnsw_links0"]
+        index._links0_full_dirty = True
+        index.config.default_ef = h["default_ef"]
+        index.entry_point = h["entry_point"]
+        index.enter_level = h["enter_level"]
+        for l in range(1, h["num_upper_levels"] + 1):
+            ul = index._upper(l)
+            ids = arrays[f"hnsw_upper_ids_{l}"]
+            links = arrays[f"hnsw_upper_links_{l}"]
+            for row, node in enumerate(ids):
+                r = ul.ensure_member(int(node))
+                ul.links[r] = links[row]
+            ul.dirty = True
+        return index
+
+    def save(self, path, include_vectors: bool = True) -> None:
+        arrays, meta = self.state(include_vectors)
+        serde.save_arrays(path, arrays, meta)
+
+    @classmethod
+    def load(cls, path, external_vectors=None) -> "HNSWIndex":
+        arrays, meta = serde.load_arrays(path)
+        return cls.from_state(arrays, meta, external_vectors)

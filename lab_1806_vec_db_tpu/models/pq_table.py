@@ -1,0 +1,184 @@
+"""PQ table: trained codebooks + encoded vector set (ADC sidecar).
+
+Parity target: `PQTable` (reference: src/distance/pq_table.rs:110-238).
+Like the reference, the PQ table is a *sidecar* that lives next to an index
+and accelerates its distance function (metadata_vec_table.rs:17); it is not
+an index itself.
+
+TPU design: training is an m-way vmapped k-means (one batched kernel for all
+subspaces — the reference trains groups serially, pq_table.rs:154-171);
+encoding is a blocked distance-GEMM + argmin; the ADC scan is a blocked
+lookup gather-accumulate (`ops/pq.py`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import pq as P
+from ..ops import topk as T
+from ..utils.config import PQConfig
+from ..utils import serde
+
+_ENCODE_BLOCK = 131072
+
+
+class PQTable:
+    def __init__(
+        self,
+        config: PQConfig,
+        dim: int,
+        codebooks: np.ndarray,  # (m, k, dsub_max) f32
+        codes: np.ndarray,  # (N, m) uint8 (unpacked)
+    ):
+        self.config = config
+        self.dim = int(dim)
+        self.k = 1 << config.n_bits
+        self.codebooks = np.asarray(codebooks, dtype=np.float32)
+        self.codes = np.asarray(codes, dtype=np.uint8)
+        idx, mask, dsub_max = P.group_gather_indices(dim, config.m)
+        self._gidx = idx
+        self._gmask = mask
+        self.dsub_max = dsub_max
+        # device caches
+        self._dev_codes: jax.Array | None = None
+        self._dev_codebooks: jax.Array | None = None
+        self._dev_cb_sqnorm: jax.Array | None = None
+
+    # ---- training (pq_table.rs:141-191) ----
+    @classmethod
+    def train(
+        cls,
+        vectors: np.ndarray,
+        config: PQConfig,
+        seed: int = 0,
+    ) -> "PQTable":
+        if config.n_bits not in (4, 8):
+            raise ValueError("n_bits must be 4 or 8")
+        n, dim = vectors.shape
+        if not (1 <= config.m <= dim):
+            raise ValueError("m must be in 1..=dim")
+        k = 1 << config.n_bits
+        rng = np.random.default_rng(seed)
+        if config.k_means_size is not None and config.k_means_size < n:
+            # random_sample without replacement (vec_set.rs:154-163)
+            sel = rng.choice(n, size=config.k_means_size, replace=False)
+            train_vecs = vectors[sel]
+        else:
+            train_vecs = vectors
+        idx, mask, _ = P.group_gather_indices(dim, config.m)
+        idx_j = jnp.asarray(idx)
+        mask_j = jnp.asarray(mask)
+        train_dev = jnp.asarray(np.ascontiguousarray(train_vecs, dtype=np.float32))
+        grouped = P.regroup(train_dev, idx_j, mask_j)
+        key = jax.random.PRNGKey(seed)
+        codebooks = P.train_codebooks(
+            key,
+            grouped,
+            jnp.int32(len(train_vecs)),
+            k,
+            config.k_means_max_iter,
+            config.k_means_tol,
+            config.dist,
+        )
+        codebooks = np.asarray(jax.device_get(codebooks))
+
+        # encode the full set in blocks
+        cb_dev = jnp.asarray(codebooks)
+        codes = np.empty((n, config.m), dtype=np.uint8)
+        for s in range(0, n, _ENCODE_BLOCK):
+            e = min(s + _ENCODE_BLOCK, n)
+            blk = jnp.asarray(np.ascontiguousarray(vectors[s:e], dtype=np.float32))
+            grouped_blk = P.regroup(blk, idx_j, mask_j)
+            codes[s:e] = np.asarray(
+                jax.device_get(P.encode(grouped_blk, cb_dev, config.dist))
+            )
+        return cls(config, dim, codebooks, codes)
+
+    def __len__(self) -> int:
+        return self.codes.shape[0]
+
+    # ---- device views ----
+    def device(self):
+        if self._dev_codes is None:
+            self._dev_codes = jnp.asarray(self.codes)
+            self._dev_codebooks = jnp.asarray(self.codebooks)
+            self._dev_cb_sqnorm = P.centroid_sqnorm_cache(self._dev_codebooks)
+        return self._dev_codes, self._dev_codebooks, self._dev_cb_sqnorm
+
+    def create_lookup(self, queries: jax.Array):
+        """(B, dim) queries -> ((B, m, k) lookup, (B,) query norms).
+
+        Parity: `PQTable::create_lookup` (pq_table.rs:195-224).
+        """
+        _, cb, _ = self.device()
+        q = queries.astype(jnp.float32)
+        qg = P.regroup(q, jnp.asarray(self._gidx), jnp.asarray(self._gmask))
+        lookup = P.build_lookup(qg, cb, self.config.dist)
+        if self.config.dist == "cosine":
+            q_norms = jnp.sqrt(jnp.sum(q * q, axis=-1))
+        else:
+            q_norms = jnp.zeros(q.shape[0], jnp.float32)
+        return lookup, q_norms
+
+    def adc_scan(self, lookup, q_norms, k_out: int):
+        """Full ADC scan over the encoded set -> (B, k_out) dists/ids."""
+        codes, _, cb_sq = self.device()
+        n = codes.shape[0]
+        return P.adc_scan(
+            lookup, codes, jnp.int32(n), cb_sq, q_norms, k_out, self.config.dist
+        )
+
+    def adc_for_ids(self, lookup, q_norms, ids: jax.Array):
+        """ADC distances for (B, C) candidate ids (HNSW+PQ traversal)."""
+        codes, _, cb_sq = self.device()
+        c = codes[jnp.maximum(ids, 0)]  # (B, C, m)
+        d = P.adc_lookup_codes(c, lookup, cb_sq, self.config.dist, q_norms)
+        return jnp.where(ids >= 0, d, jnp.inf)
+
+    # ---- serde (pq_table.rs:226-238; our format is npz) ----
+    def state(self) -> tuple[dict[str, np.ndarray], dict]:
+        if self.config.n_bits == 4:
+            stored = P.pack_codes_4bit(self.codes)
+        else:
+            stored = self.codes
+        arrays = {"pq_codebooks": self.codebooks, "pq_codes": stored}
+        meta = {
+            "pq": {
+                "n_bits": self.config.n_bits,
+                "m": self.config.m,
+                "dist": self.config.dist,
+                "k_means_size": self.config.k_means_size,
+                "k_means_max_iter": self.config.k_means_max_iter,
+                "k_means_tol": self.config.k_means_tol,
+                "dim": self.dim,
+            }
+        }
+        return arrays, meta
+
+    @classmethod
+    def from_state(cls, arrays: dict[str, np.ndarray], meta: dict) -> "PQTable":
+        m = meta["pq"]
+        config = PQConfig(
+            n_bits=m["n_bits"],
+            m=m["m"],
+            dist=m["dist"],
+            k_means_size=m["k_means_size"],
+            k_means_max_iter=m["k_means_max_iter"],
+            k_means_tol=m["k_means_tol"],
+        )
+        codes = arrays["pq_codes"]
+        if config.n_bits == 4:
+            codes = P.unpack_codes_4bit(codes, config.m)
+        return cls(config, m["dim"], arrays["pq_codebooks"], codes)
+
+    def save(self, path) -> None:
+        arrays, meta = self.state()
+        serde.save_arrays(path, arrays, meta)
+
+    @classmethod
+    def load(cls, path) -> "PQTable":
+        arrays, meta = serde.load_arrays(path)
+        return cls.from_state(arrays, meta)

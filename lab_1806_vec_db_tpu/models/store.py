@@ -1,0 +1,175 @@
+"""Padded device-resident vector storage.
+
+The TPU re-design of `VecSet<T>` (reference: src/vec_set.rs:15-203):
+- canonical storage is a host numpy array with geometric capacity growth
+  (push/batch_push/swap_remove, mirroring vec_set.rs:116-137)
+- the device view is a fixed-capacity `(cap, dim)` float32 array plus the
+  per-row distance cache (`dist_cache`, reference src/distance/mod.rs:31-36),
+  padded rows zeroed, refreshed *incrementally*: small writes are applied as
+  device scatters instead of re-uploading the whole set, so XLA keeps static
+  shapes while N changes on the host side.
+
+Capacity changes (growth) trigger one full re-upload and a recompile of the
+downstream jitted kernels — amortized by doubling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import distance as D
+
+_MIN_CAP = 8
+
+
+def _round_cap(n: int) -> int:
+    cap = _MIN_CAP
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class VecStore:
+    def __init__(self, dim: int, dist: str, capacity: int = 0, dtype=np.float32):
+        D.check_dist(dist)
+        self.dim = int(dim)
+        self.dist = dist
+        self.dtype = np.dtype(dtype)
+        self._n = 0
+        self._cap = _round_cap(max(capacity, _MIN_CAP))
+        self._data = np.zeros((self._cap, dim), dtype=self.dtype)
+        # device state
+        self._dev: jax.Array | None = None
+        self._dev_cache: jax.Array | None = None
+        self._dirty_rows: set[int] = set()
+        self._dev_full_dirty = True
+
+    # ---- host-side mutation (vec_set.rs push/pop/swap_remove parity) ----
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def n(self) -> int:
+        return self._n
+
+    @property
+    def capacity(self) -> int:
+        return self._cap
+
+    def numpy(self) -> np.ndarray:
+        """Valid rows as a host array view (n, dim)."""
+        return self._data[: self._n]
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        if not (0 <= i < self._n):
+            raise IndexError(i)
+        return self._data[i]
+
+    def _grow_to(self, n: int) -> None:
+        if n <= self._cap:
+            return
+        new_cap = _round_cap(n)
+        new = np.zeros((new_cap, self.dim), dtype=self.dtype)
+        new[: self._n] = self._data[: self._n]
+        self._data = new
+        self._cap = new_cap
+        self._dev = None
+        self._dev_cache = None
+        self._dev_full_dirty = True
+        self._dirty_rows.clear()
+
+    def push(self, vec) -> int:
+        vec = np.asarray(vec, dtype=self.dtype).reshape(-1)
+        if vec.shape[0] != self.dim:
+            raise ValueError(f"Dimension mismatch: {vec.shape[0]} != {self.dim}")
+        self._grow_to(self._n + 1)
+        idx = self._n
+        self._data[idx] = vec
+        self._n += 1
+        self._mark_dirty(idx)
+        return idx
+
+    def batch_push(self, vecs) -> list[int]:
+        vecs = np.asarray(vecs, dtype=self.dtype)
+        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+            raise ValueError(f"Dimension mismatch: {vecs.shape} vs dim={self.dim}")
+        start = self._n
+        self._grow_to(self._n + len(vecs))
+        self._data[start : start + len(vecs)] = vecs
+        self._n += len(vecs)
+        for i in range(start, self._n):
+            self._mark_dirty(i)
+        return list(range(start, self._n))
+
+    def swap_remove(self, i: int) -> None:
+        """Remove row i by moving the last row into it (vec_set.rs:131-137)."""
+        if not (0 <= i < self._n):
+            raise IndexError(i)
+        last = self._n - 1
+        if i != last:
+            self._data[i] = self._data[last]
+            self._mark_dirty(i)
+        self._data[last] = 0
+        self._mark_dirty(last)
+        self._n = last
+
+    def _mark_dirty(self, row: int) -> None:
+        if self._dev_full_dirty:
+            return
+        self._dirty_rows.add(row)
+        if len(self._dirty_rows) > max(1024, self._cap // 8):
+            self._dev_full_dirty = True
+            self._dirty_rows.clear()
+
+    # ---- device view ----
+    def device(self) -> tuple[jax.Array, jax.Array]:
+        """Return (vectors (cap, dim) f32, dist_cache (cap,) f32), synced."""
+        if self._dev is None or self._dev_full_dirty:
+            host = np.zeros((self._cap, self.dim), dtype=np.float32)
+            host[: self._n] = self._data[: self._n].astype(np.float32)
+            self._dev = jnp.asarray(host)
+            self._dev_cache = D.dist_cache(self._dev, self.dist)
+            self._dev_full_dirty = False
+            self._dirty_rows.clear()
+        elif self._dirty_rows:
+            rows = np.fromiter(self._dirty_rows, dtype=np.int64)
+            vals = self._data[rows].astype(np.float32)
+            vals_j = jnp.asarray(vals)
+            self._dev = self._dev.at[jnp.asarray(rows)].set(vals_j)
+            self._dev_cache = self._dev_cache.at[jnp.asarray(rows)].set(
+                D.dist_cache(vals_j, self.dist)
+            )
+            self._dirty_rows.clear()
+        return self._dev, self._dev_cache
+
+    # ---- conversions (vec_set.rs:142-163 parity) ----
+    def to_type(self, dtype) -> "VecStore":
+        """dtype conversion via f32 mediation (vec_set.rs:142-149)."""
+        out = VecStore(self.dim, self.dist, capacity=self._n, dtype=dtype)
+        if self._n:
+            out.batch_push(self._data[: self._n].astype(np.float32).astype(dtype))
+        return out
+
+    def random_sample(self, size: int, rng: np.random.Generator) -> np.ndarray:
+        """Sample `size` rows without replacement (vec_set.rs:154-163)."""
+        size = min(size, self._n)
+        sel = rng.choice(self._n, size=size, replace=False)
+        return self._data[np.sort(sel)].copy()
+
+    # ---- serde ----
+    def state_arrays(self, include_vectors: bool = True) -> dict[str, np.ndarray]:
+        out = {}
+        if include_vectors:
+            out["vectors"] = self._data[: self._n].copy()
+        return out
+
+    @classmethod
+    def from_numpy(cls, vectors: np.ndarray, dist: str, dtype=None) -> "VecStore":
+        vectors = np.asarray(vectors)
+        dtype = dtype or vectors.dtype
+        store = cls(vectors.shape[1], dist, capacity=len(vectors), dtype=dtype)
+        if len(vectors):
+            store.batch_push(vectors)
+        return store

@@ -1,0 +1,149 @@
+"""Multi-chip sharding: mesh + shard_map kernels with ICI collectives.
+
+The reference is single-node shared-memory (rayon work-stealing + OS threads;
+SURVEY.md section 2 parallelism inventory) with multi-process explicitly
+prevented by a lock file.  The TPU-native scale story replaces all of that
+with SPMD over a `jax.sharding.Mesh`:
+
+- **data axis**: the vector set is sharded over chips along N; each chip
+  scans its shard with the same blocked GEMM kernel and keeps a local top-k;
+  a `lax.all_gather` over ICI merges the per-chip candidates into a global
+  top-k (the distributed equivalent of the rayon fan-out at
+  examples/bench.rs:414-418).
+- **subspace axis**: PQ's m groups are embarrassingly parallel (the
+  reference trains them serially, pq_table.rs:154-171); sharding the group
+  axis is the "tensor/subspace-parallel" analog for this workload.
+- k-means: per-chip assignment + `psum` of the per-centroid partial sums and
+  counts — one Lloyd step with data parallelism over N.
+
+Everything is jit-compiled once; XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import inspect
+
+from jax import shard_map as _shard_map
+
+if "check_vma" in inspect.signature(_shard_map).parameters:
+    # new API: disable varying-manual-axes inference — the outputs here are
+    # replicated by construction (all_gather/psum before returning)
+    def shard_map(f=None, **kw):
+        if f is None:
+            return _shard_map(check_vma=False, **kw)
+        return _shard_map(f, check_vma=False, **kw)
+else:  # pragma: no cover - older jax
+    shard_map = _shard_map
+
+from ..ops import distance as D
+from ..ops import topk as T
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_base(mesh: Mesh, base: np.ndarray, dist: str):
+    """Pad and shard an (N, dim) base over the mesh's data axis.
+
+    Returns (base_sharded, cache_sharded, n_local (n_dev,), shard_size).
+    """
+    n_dev = mesh.devices.size
+    n, dim = base.shape
+    shard = -(-n // n_dev)
+    shard = max(shard, 8)
+    pad = n_dev * shard - n
+    base_p = np.zeros((n_dev * shard, dim), np.float32)
+    base_p[:n] = base
+    n_local = np.minimum(np.maximum(n - shard * np.arange(n_dev), 0), shard).astype(
+        np.int32
+    )
+    sharding = NamedSharding(mesh, P("data", None))
+    base_dev = jax.device_put(base_p, sharding)
+    cache_dev = jax.jit(
+        lambda x: D.dist_cache(x, dist),
+        in_shardings=sharding,
+        out_shardings=NamedSharding(mesh, P("data")),
+    )(base_dev)
+    n_local_dev = jax.device_put(n_local, NamedSharding(mesh, P("data")))
+    return base_dev, cache_dev, n_local_dev, shard
+
+
+@partial(jax.jit, static_argnames=("k", "dist", "mesh", "shard"))
+def _sharded_knn(queries, base, cache, n_local, k, dist, mesh, shard):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None), P("data", None), P("data"), P("data")),
+        out_specs=(P(None, None), P(None, None)),
+    )
+    def kernel(q, base_l, cache_l, n_l):
+        # per-chip blocked scan over the local shard
+        d, i = T.knn_scan(q, base_l, cache_l, n_l[0], k, dist)
+        # local ids -> global ids
+        offset = jax.lax.axis_index("data").astype(jnp.int32) * shard
+        i = jnp.where(i >= 0, i + offset, -1)
+        # ICI all-gather of per-chip candidates, then a local merge
+        all_d = jax.lax.all_gather(d, "data", axis=1).reshape(d.shape[0], -1)
+        all_i = jax.lax.all_gather(i, "data", axis=1).reshape(d.shape[0], -1)
+        return T.topk_smallest(jnp.where(all_i >= 0, all_d, jnp.inf), all_i, k)
+
+    return kernel(queries, base, cache, n_local)
+
+
+class ShardedFlatIndex:
+    """Exact kNN over a vector set sharded across every chip in the mesh."""
+
+    def __init__(self, mesh: Mesh, base: np.ndarray, dist: str):
+        D.check_dist(dist)
+        self.mesh = mesh
+        self.dist = dist
+        self.n = len(base)
+        self.dim = base.shape[1]
+        self.base, self.cache, self.n_local, self.shard = shard_base(mesh, base, dist)
+
+    def knn_batch(self, queries: np.ndarray, k: int):
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        d, i = _sharded_knn(
+            q, self.base, self.cache, self.n_local, k, self.dist, self.mesh, self.shard
+        )
+        return np.asarray(d), np.asarray(i)
+
+
+@partial(jax.jit, static_argnames=("dist", "mesh"))
+def kmeans_step_sharded(data, n_local, centroids, dist, mesh):
+    """One Lloyd step, data-parallel over the mesh: local assignment GEMM +
+    psum of partial centroid sums/counts over ICI."""
+    k, dim = centroids.shape
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data", None), P("data"), P(None, None)),
+        out_specs=P(None, None),
+    )
+    def kernel(data_l, n_l, c):
+        n_pad = data_l.shape[0]
+        valid = jnp.arange(n_pad) < n_l[0]
+        d = D.pairwise(data_l, c, dist)
+        a = jnp.argmin(d, axis=1)
+        w = jnp.where(valid, 1.0, 0.0)
+        counts = jnp.zeros((k,), jnp.float32).at[a].add(w)
+        sums = jnp.zeros((k, dim), jnp.float32).at[a].add(
+            jnp.where(valid[:, None], data_l, 0.0)
+        )
+        counts = jax.lax.psum(counts, "data")
+        sums = jax.lax.psum(sums, "data")
+        return jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), c)
+
+    return kernel(data, n_local, centroids)

@@ -1,0 +1,200 @@
+"""Configuration system.
+
+TOML-driven configs mirroring the reference's serde structs:
+- `VecDataConfig` {dim, data_type, data_path, limit} (reference: src/config.rs:31-52)
+- `IndexAlgorithmConfig` tagged enum {Flat, HNSW, IVF} (reference: src/config.rs:9-16)
+- per-algorithm configs with sparse per-field defaults
+  (HNSW: src/index_algorithm/hnsw_index.rs:41-70; IVF: src/index_algorithm/ivf_index.rs:19-31;
+   PQ: src/distance/pq_table.rs:17-34; KMeans: src/distance/k_means.rs:14-31)
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+from pathlib import Path
+
+
+@dataclass
+class VecDataConfig:
+    dim: int
+    data_type: str = "float32"
+    data_path: str = ""
+    limit: int | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "VecDataConfig":
+        return cls(
+            dim=int(d["dim"]),
+            data_type=d.get("data_type", "float32"),
+            data_path=d.get("data_path", ""),
+            limit=d.get("limit"),
+        )
+
+    @classmethod
+    def load_from_toml_file(cls, path: str | Path) -> "VecDataConfig":
+        with open(path, "rb") as f:
+            return cls.from_dict(tomllib.load(f))
+
+
+@dataclass
+class HNSWConfig:
+    """HNSW build config (reference defaults: src/index_algorithm/hnsw_index.rs:25-38).
+
+    `max_elements` is the initial device-array capacity; more vectors can be
+    added with geometric re-allocation (the TPU equivalent of the reference's
+    auto re-allocation).
+    """
+
+    max_elements: int = 0
+    ef_construction: int = 200
+    M: int = 16
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HNSWConfig":
+        return cls(
+            max_elements=int(d.get("max_elements", 0)),
+            ef_construction=int(d.get("ef_construction", 200)),
+            M=int(d.get("M", 16)),
+        )
+
+
+@dataclass
+class IVFConfig:
+    """IVF build config (reference: src/index_algorithm/ivf_index.rs:19-31)."""
+
+    k: int = 128
+    k_means_size: int | None = None
+    k_means_max_iter: int = 20
+    k_means_tol: float = 1e-6
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IVFConfig":
+        return cls(
+            k=int(d.get("k", 128)),
+            k_means_size=d.get("k_means_size"),
+            k_means_max_iter=int(d.get("k_means_max_iter", 20)),
+            k_means_tol=float(d.get("k_means_tol", 1e-6)),
+        )
+
+
+@dataclass
+class PQConfig:
+    """PQ table config (reference: src/distance/pq_table.rs:17-34)."""
+
+    n_bits: int = 4
+    m: int = 0  # required; 0 means unset
+    dist: str = "l2sqr"
+    k_means_size: int | None = None
+    k_means_max_iter: int = 20
+    k_means_tol: float = 1e-6
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PQConfig":
+        return cls(
+            n_bits=int(d.get("n_bits", 4)),
+            m=int(d["m"]),
+            dist=_dist_from_toml(d.get("dist", "L2Sqr")),
+            k_means_size=d.get("k_means_size"),
+            k_means_max_iter=int(d.get("k_means_max_iter", 20)),
+            k_means_tol=float(d.get("k_means_tol", 1e-6)),
+        )
+
+
+@dataclass
+class KMeansConfig:
+    """K-means config (reference: src/distance/k_means.rs:14-31)."""
+
+    k: int
+    max_iter: int = 20
+    tol: float = 1e-6
+    dist: str = "l2sqr"
+    selected: tuple[int, int] | None = None
+
+
+def _dist_from_toml(name: str) -> str:
+    """Map the reference's TOML enum names {L2Sqr, Cosine} and the Python API
+    strings {l2sqr, cosine} (reference: src/pyo3/mod.rs:15-31) to canonical
+    lowercase names."""
+    low = name.lower()
+    if low in ("l2sqr", "cosine"):
+        return low
+    raise ValueError(f"Invalid distance function: {name!r}")
+
+
+@dataclass
+class IndexAlgorithmConfig:
+    """Tagged enum {Flat, HNSW, IVF} (reference: src/config.rs:9-16).
+
+    In TOML this appears as `[algorithm.HNSW]` etc.
+    """
+
+    name: str  # "Flat" | "HNSW" | "IVF"
+    flat: None = None
+    hnsw: HNSWConfig | None = None
+    ivf: IVFConfig | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexAlgorithmConfig":
+        if len(d) != 1:
+            raise ValueError(f"algorithm table must have exactly one variant, got {list(d)}")
+        (name, sub), = d.items()
+        if name == "Flat":
+            return cls(name="Flat")
+        if name == "HNSW":
+            return cls(name="HNSW", hnsw=HNSWConfig.from_dict(sub))
+        if name == "IVF":
+            return cls(name="IVF", ivf=IVFConfig.from_dict(sub))
+        raise ValueError(f"Unknown index algorithm: {name!r}")
+
+
+@dataclass
+class BenchConfig:
+    """Benchmark harness config (reference: examples/bench.rs:70-92).
+
+    `ef` is either a range {start, end, step} or an explicit list
+    (reference: examples/bench.rs:28-48).
+    """
+
+    label: str
+    dist: str
+    gnd_path: str
+    index_cache: str
+    bench_output: str
+    algorithm: IndexAlgorithmConfig
+    base: VecDataConfig
+    test: VecDataConfig
+    ef: list[int] = field(default_factory=list)
+    pq: PQConfig | None = None
+    pq_cache: str | None = None
+
+    @classmethod
+    def load_from_toml_file(cls, path: str | Path) -> "BenchConfig":
+        with open(path, "rb") as f:
+            d = tomllib.load(f)
+        ef_spec = d.get("ef", {})
+        if "list" in ef_spec:
+            ef = [int(x) for x in ef_spec["list"]]
+        elif "range" in ef_spec:
+            r = ef_spec["range"]
+            ef = list(range(int(r["start"]), int(r["end"]) + 1, int(r["step"])))
+        else:
+            ef = []
+        pq = None
+        pq_cache = None
+        if "PQ" in d:
+            pq = PQConfig.from_dict(d["PQ"])
+            pq_cache = d["PQ"].get("pq_cache")
+        return cls(
+            label=d.get("label", ""),
+            dist=_dist_from_toml(d.get("dist", "L2Sqr")),
+            gnd_path=d.get("gnd_path", ""),
+            index_cache=d.get("index_cache", ""),
+            bench_output=d.get("bench_output", ""),
+            algorithm=IndexAlgorithmConfig.from_dict(d["algorithm"]),
+            base=VecDataConfig.from_dict(d["base"]),
+            test=VecDataConfig.from_dict(d["test"]),
+            ef=ef,
+            pq=pq,
+            pq_cache=pq_cache,
+        )

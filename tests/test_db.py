@@ -1,0 +1,207 @@
+"""Database layer tests.
+
+Mirrors the reference's Python integration suite:
+- examples/test_pyo3.py: API invariants incl. index-clearing semantics
+- examples/test_try_lock.py: double-open must fail
+- examples/test_exception.py: data reaches disk on abnormal exit (here:
+  close/force_save paths)
+- src/database/mod.rs:543-610: concurrent table ops incl. non-ASCII keys
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from lab_1806_vec_db_tpu import VecDB, calc_dist
+from lab_1806_vec_db_tpu.db.manager import sanitize_key
+
+
+def test_calc_dist():
+    assert abs(calc_dist([1.0, 0.0], [0.0, 1.0], "l2sqr") - 2.0) < 1e-6
+    assert abs(calc_dist([1.0, 0.0], [1.0, 0.0]) - 0.0) < 1e-6  # default cosine
+    with pytest.raises(ValueError):
+        calc_dist([1.0], [1.0], "bogus")
+
+
+def test_sanitize_key():
+    assert sanitize_key("abc_DEF-123") == "abc_DEF-123"
+    assert sanitize_key("a b/c") == "a_b_c"
+    assert sanitize_key("<表:b>") == "_表_b_"
+    assert len(sanitize_key("x" * 100)) == 32
+
+
+def test_pyo3_semantics(tmp_path):
+    """The README walkthrough (reference README.md:26-63)."""
+    db = VecDB(str(tmp_path / "vec_db"))
+    for key in db.get_all_keys():
+        db.delete_table(key)
+    assert db.get_all_keys() == []
+
+    db.create_table_if_not_exists("table_1", 4)
+    db.add("table_1", [1.0, 0.0, 0.0, 0.0], {"content": "a"})
+    db.add("table_1", [0.0, 1.0, 0.0, 0.0], {"content": "b"})
+    db.build_hnsw_index("table_1")
+    db.add("table_1", [0.0, 0.0, 1.0, 0.0], {"content": "c"})
+    db.add("table_1", [0.0, 0.0, 1.0, 1.0], {"content": "d", "type": "oops"})
+    assert db.has_hnsw_index("table_1"), "add must not clear the HNSW index"
+
+    db.delete("table_1", {"type": "oops"})
+    assert db.get_len("table_1") == 3
+    assert not db.has_hnsw_index("table_1"), "delete must clear the HNSW index"
+
+    db.build_hnsw_index("table_1")
+    db.build_pq_table("table_1")
+    assert db.has_pq_table("table_1")
+    result = db.search("table_1", [1.0, 0.0, 0.0, 0.0], 3, None, 0.5)
+    assert len(result) == 1
+    assert result[0][0]["content"] == "a"
+
+    # write clears PQ (metadata_vec_table.rs:64-81)
+    db.add("table_1", [0.5, 0.5, 0.0, 0.0], {"content": "e"})
+    assert not db.has_pq_table("table_1")
+    db.close()
+
+
+def test_table_management(tmp_path):
+    db = VecDB(str(tmp_path / "db"))
+    assert db.create_table_if_not_exists("t", 3, "l2sqr")
+    assert not db.create_table_if_not_exists("t", 3, "l2sqr")
+    assert db.contains_key("t")
+    assert db.get_dim("t") == 3
+    assert db.get_dist("t") == "l2sqr"
+    assert db.get_len("t") == 0
+    assert db.get_cached_tables() == ["t"]
+    db.remove_cached_table("t")
+    assert not db.contains_cached("t")
+    # lazily reloaded from disk
+    assert db.get_len("t") == 0
+    assert db.delete_table("t")
+    assert not db.delete_table("t")
+    with pytest.raises(ValueError):
+        db.create_table_if_not_exists("bad", 3, "manhattan")
+    db.close()
+
+
+def test_dimension_mismatch(tmp_path):
+    db = VecDB(str(tmp_path / "db"))
+    db.create_table_if_not_exists("t", 3)
+    with pytest.raises(ValueError):
+        db.add("t", [1.0, 2.0], {})
+    with pytest.raises(ValueError):
+        db.batch_add("t", [[1.0, 2.0, 3.0], [1.0]], [{}, {}])
+    with pytest.raises(ValueError):
+        db.batch_add("t", [[1.0, 2.0, 3.0]], [{}, {}])
+    db.close()
+
+
+def test_missing_table_errors(tmp_path):
+    db = VecDB(str(tmp_path / "db"))
+    with pytest.raises(RuntimeError):
+        db.get_len("nope")
+    with pytest.raises(RuntimeError):
+        db.search("nope", [1.0], 1)
+    db.close()
+
+
+def test_try_lock(tmp_path):
+    """Double-open must raise (examples/test_try_lock.py)."""
+    d = str(tmp_path / "db")
+    db = VecDB(d)
+    with pytest.raises(RuntimeError):
+        VecDB(d)
+    db.close()
+    db2 = VecDB(d)  # released lock can be re-acquired
+    db2.close()
+
+
+def test_persistence_roundtrip(tmp_path):
+    d = str(tmp_path / "db")
+    db = VecDB(d)
+    db.create_table_if_not_exists("t", 4, "cosine")
+    db.batch_add(
+        "t",
+        [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+        [{"name": "a"}, {"name": "b"}],
+    )
+    db.build_hnsw_index("t")
+    db.force_save()
+    db.close()
+
+    db = VecDB(d)
+    assert db.get_all_keys() == ["t"]
+    assert db.get_len("t") == 2
+    assert db.has_hnsw_index("t")
+    res = db.search("t", [1.0, 0.0, 0.0, 0.0], 1)
+    assert res[0][0]["name"] == "a"
+    data = db.extract_data("t")
+    assert len(data) == 2
+    db.close()
+
+
+def test_concurrent_ops(tmp_path):
+    """Two threads concurrently create/add/build/delete incl. a non-ASCII key
+    (mod.rs:543-610)."""
+    db = VecDB(str(tmp_path / "db"))
+    dim, dist = 4, "cosine"
+
+    def md(name):
+        return {"name": name}
+
+    def worker_a():
+        db.create_table_if_not_exists("table_a", dim, dist)
+        db.add("table_a", [1.0, 0.0, 0.0, 0.0], md("a"))
+        db.build_hnsw_index("table_a")
+        db.add("table_a", [0.0, 1.0, 0.0, 0.0], md("b"))
+        db.add("table_a", [0.0, 0.0, 1.0, 0.0], md("c"))
+
+    def worker_b():
+        key_b = "<表:b>"
+        db.create_table_if_not_exists(key_b, dim, dist)
+        db.build_hnsw_index(key_b)
+        db.batch_add(
+            key_b,
+            [[0.0, 0.0, 0.0, 0.1], [0.0, 1.0, 0.0, 0.1], [0.0, 0.0, 1.0, 0.1]],
+            [md("a'"), md("b'"), md("c'")],
+        )
+        db.delete(key_b, md("a'"))
+        db.add(key_b, [1.0, 0.0, 0.0, 0.1], md("d"))
+
+    errs = []
+
+    def run(fn):
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(f,)) for f in (worker_a, worker_b)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+
+    # similar sanitized name must still be creatable (unique suffixing)
+    assert db.create_table_if_not_exists("<表_b>", dim, dist)
+
+    len_a = db.get_len("table_a")
+    db.build_pq_table("table_a")
+    results = db.search("table_a", [0.0, 0.0, 1.0, 0.0], len_a, len_a, 0.5)
+    names = [m["name"] for m, _ in results]
+    assert names == ["c"]
+    db.close()
+
+
+def test_brief_toml_roundtrip(tmp_path):
+    from lab_1806_vec_db_tpu.db.manager import _Brief
+
+    b = _Brief()
+    f1 = b.insert("table a")
+    f2 = b.insert("table:a")  # sanitizes to the same base -> suffixed
+    assert f1 != f2
+    b.insert('we"ird\\key')
+    p = str(tmp_path / "brief.toml")
+    b.save(p)
+    loaded = _Brief.load(p)
+    assert loaded.tables == b.tables

@@ -1,0 +1,101 @@
+"""Flat index tests (mirrors reference src/index_algorithm/flat_index.rs:117-170
+plus a NumPy exact oracle for the blocked GEMM scan)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lab_1806_vec_db_tpu.models import FlatIndex
+from lab_1806_vec_db_tpu.ops import distance as D
+
+
+def numpy_knn(base, query, k, dist):
+    if dist == "l2sqr":
+        d = ((base - query[None, :]) ** 2).sum(axis=1)
+    else:
+        dots = base @ query
+        denom = np.maximum(np.linalg.norm(base, axis=1) * np.linalg.norm(query), 1e-10)
+        d = 1.0 - dots / denom
+    order = np.lexsort((np.arange(len(d)), d))
+    return order[:k]
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_self_query(dist, gist_1000):
+    vecs = gist_1000[:100, :32].copy()
+    index = FlatIndex.from_numpy(vecs, dist)
+    res = index.knn(vecs[41], 6)
+    assert res[0].index == 41
+    assert res[0].distance < 1e-4
+    ds = [p.distance for p in res]
+    assert ds == sorted(ds)
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_oracle_parity(dist, gist_1000, rng):
+    vecs = gist_1000[:300, :48].copy()
+    index = FlatIndex.from_numpy(vecs, dist)
+    queries = gist_1000[300:310, :48].copy()
+    d, i = index.knn_batch(queries, 5)
+    for qi in range(len(queries)):
+        expect = numpy_knn(vecs, queries[qi], 5, dist)
+        assert list(i[qi]) == list(expect)
+
+
+def test_blocked_scan_matches_single_tile(gist_1000):
+    """The blocked running-top-k path must agree with the one-GEMM path."""
+    from lab_1806_vec_db_tpu.ops import topk as T
+    import jax.numpy as jnp
+
+    vecs = gist_1000[:512, :64]
+    queries = gist_1000[512:520, :64]
+    vdev = jnp.asarray(vecs)
+    cache = D.dist_cache(vdev, "l2sqr")
+    d1, i1 = T.knn_scan(jnp.asarray(queries), vdev, cache, jnp.int32(500), 10, "l2sqr")
+    d2, i2 = T.knn_scan(
+        jnp.asarray(queries), vdev, cache, jnp.int32(500), 10, "l2sqr", block=128
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5)
+
+
+def test_k_exceeds_n():
+    vecs = np.eye(4, dtype=np.float32)
+    index = FlatIndex.from_numpy(vecs, "l2sqr")
+    res = index.knn(vecs[0], 10)
+    assert len(res) == 4
+
+
+def test_serde_roundtrip(tmp_path, gist_1000):
+    vecs = gist_1000[:50, :16].copy()
+    index = FlatIndex.from_numpy(vecs, "cosine")
+    p = tmp_path / "flat.npz"
+    index.save(str(p))
+    loaded = FlatIndex.load(str(p))
+    assert len(loaded) == 50
+    r1 = index.knn(vecs[3], 4)
+    r2 = loaded.knn(vecs[3], 4)
+    assert [p_.index for p_ in r1] == [p_.index for p_ in r2]
+
+
+def test_serde_external_vectors(tmp_path, gist_1000):
+    """Index-without-vectors checkpoint shape (flat_index.rs:72-83)."""
+    vecs = gist_1000[:50, :16].copy()
+    index = FlatIndex.from_numpy(vecs, "l2sqr")
+    p = tmp_path / "flat_novec.npz"
+    index.save(str(p), include_vectors=False)
+    loaded = FlatIndex.load(str(p), external_vectors=vecs)
+    assert len(loaded) == 50
+    assert loaded.knn(vecs[7], 1)[0].index == 7
+
+
+def test_add_and_swap_remove(gist_1000):
+    vecs = gist_1000[:20, :8].copy()
+    index = FlatIndex.from_numpy(vecs, "l2sqr")
+    index.add(gist_1000[20, :8])
+    assert len(index) == 21
+    assert index.knn(gist_1000[20, :8], 1)[0].index == 20
+    index.store.swap_remove(0)  # last row moves into slot 0
+    assert len(index) == 20
+    assert index.knn(gist_1000[20, :8], 1)[0].index == 0

@@ -1,0 +1,73 @@
+"""HNSW tests (mirrors reference src/index_algorithm/hnsw_index.rs:713-790):
+oracle-identity against Flat at clipped dim (where HNSW is effectively
+exact), both distances, serde roundtrips including the external-vec-set
+shape, plus incremental add."""
+
+import numpy as np
+import pytest
+
+from lab_1806_vec_db_tpu.models import FlatIndex, HNSWIndex
+from lab_1806_vec_db_tpu.utils.config import HNSWConfig
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_hnsw_oracle_identity(dist, gist_1000, tmp_path):
+    vecs = gist_1000[:, :12].copy()  # clipped dim => ANN is effectively exact
+    index = HNSWIndex.build(vecs, dist, HNSWConfig(), seed=42)
+    flat = FlatIndex.from_numpy(vecs, dist)
+
+    # serde roundtrip (hnsw_index.rs:750-756)
+    p = tmp_path / "hnsw.npz"
+    index.save(str(p))
+    index = HNSWIndex.load(str(p))
+
+    # serde without vec set (hnsw_index.rs:758-765)
+    p2 = tmp_path / "hnsw_novec.npz"
+    index.save(str(p2), include_vectors=False)
+    index = HNSWIndex.load(str(p2), external_vectors=vecs)
+
+    k = 6
+    q = vecs[200]
+    res = index.knn(q, k)
+    flat_res = flat.knn(q, k)
+    assert [p_.index for p_ in res] == [p_.index for p_ in flat_res]
+    assert len(res) == k
+    ds = [p_.distance for p_ in res]
+    assert ds == sorted(ds)
+
+
+def test_hnsw_incremental_add(gist_1000):
+    vecs = gist_1000[:200, :12].copy()
+    index = HNSWIndex.build(vecs[:150], "l2sqr", HNSWConfig(), seed=7)
+    for v in vecs[150:]:
+        index.add(v)
+    assert len(index) == 200
+    flat = FlatIndex.from_numpy(vecs, "l2sqr")
+    hits = 0
+    for qi in [0, 50, 120, 160, 199]:
+        res = index.knn_with_ef(vecs[qi], 5, 60)
+        flat_res = flat.knn(vecs[qi], 5)
+        hits += len({p.index for p in res} & {p.index for p in flat_res})
+    assert hits >= 22  # ~exact on clipped dim
+
+
+def test_hnsw_empty_and_single():
+    index = HNSWIndex(4, "l2sqr", HNSWConfig())
+    assert index.knn([0.0, 0.0, 0.0, 0.0], 3) == []
+    index.add([1.0, 0.0, 0.0, 0.0])
+    res = index.knn([1.0, 0.0, 0.0, 0.0], 3)
+    assert len(res) == 1 and res[0].index == 0
+
+
+def test_hnsw_batch_recall(gist_1000):
+    """Batched search recall on the full-dim bundled slice."""
+    vecs = gist_1000[:800].copy()
+    queries = gist_1000[800:850].copy()
+    index = HNSWIndex.build(vecs, "l2sqr", HNSWConfig(), seed=0)
+    flat = FlatIndex.from_numpy(vecs, "l2sqr")
+    _, gt = flat.knn_batch(queries, 10)
+    _, got = index.knn_with_ef_batch(queries, 10, 120)
+    recall = np.mean(
+        [len(set(gt[i]) & set(got[i])) / 10 for i in range(len(queries))]
+    )
+    assert recall > 0.85, recall

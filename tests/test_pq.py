@@ -1,0 +1,93 @@
+"""PQ tests (mirrors reference src/distance/pq_table.rs:312-438):
+group-split rule, exactness-by-construction, p90 relative error bound."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lab_1806_vec_db_tpu.ops import pq as P
+from lab_1806_vec_db_tpu.ops import distance as D
+from lab_1806_vec_db_tpu.models import PQTable, FlatIndex
+from lab_1806_vec_db_tpu.utils.config import PQConfig
+
+
+def test_pq_groups():
+    # pq_table.rs:313-322
+    assert P.pq_groups(6, 2) == [(0, 3), (3, 6)]
+    assert P.pq_groups(7, 3) == [(0, 3), (3, 5), (5, 7)]
+
+
+def test_pack_unpack_roundtrip(rng):
+    codes = rng.integers(0, 16, size=(10, 7)).astype(np.uint8)
+    packed = P.pack_codes_4bit(codes)
+    assert packed.shape == (10, 4)
+    np.testing.assert_array_equal(P.unpack_codes_4bit(packed, 7), codes)
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_pq_exactness_when_num_vec_le_k(dist, rng):
+    """With num_vec <= k the quantization is lossless, so ADC distance must
+    equal the true distance (pq_table.rs:324-372)."""
+    dim, m, num_vec = 8, 2, 5
+    src = rng.uniform(-1.0, 1.0, size=(num_vec, dim)).astype(np.float32)
+    cfg = PQConfig(n_bits=4, m=m, dist=dist, k_means_size=None, k_means_max_iter=20, k_means_tol=1e-6)
+    pq = PQTable.train(src, cfg, seed=42)
+
+    lookup, q_norms = pq.create_lookup(jnp.asarray(src))
+    codes, _, cb_sq = pq.device()
+    ids = jnp.broadcast_to(jnp.arange(num_vec, dtype=jnp.int32)[None, :], (num_vec, num_vec))
+    adc = np.asarray(pq.adc_for_ids(lookup, q_norms, ids))
+    for i in range(num_vec):
+        for j in range(num_vec):
+            expect = D.calc_dist_host(src[i], src[j], dist)
+            assert abs(adc[i, j] - expect) < 1e-5, (i, j, adc[i, j], expect)
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_pq_p90_relative_error(dist, gist_1000, rng):
+    """p90 relative error < 0.2 on real data (pq_table.rs:374-413)."""
+    vecs = gist_1000[:64, :13].copy()
+    cfg = PQConfig(n_bits=4, m=-(-13 // 3), dist=dist, k_means_size=None)
+    pq = PQTable.train(vecs, cfg, seed=42)
+
+    errors = []
+    for _ in range(20):
+        i0, i1 = rng.integers(0, len(vecs), 2)
+        lookup, q_norms = pq.create_lookup(jnp.asarray(vecs[i1][None, :]))
+        adc = float(
+            np.asarray(pq.adc_for_ids(lookup, q_norms, jnp.asarray([[int(i0)]])))[0, 0]
+        )
+        expect = D.calc_dist_host(vecs[i0], vecs[i1], dist)
+        errors.append(abs(adc - expect) / max(expect, 1.0))
+    errors.sort()
+    p90 = errors[int(np.ceil(len(errors) * 0.9)) - 1]
+    assert p90 < 0.2, p90
+
+
+def test_flat_knn_pq_rerank(gist_1000):
+    """Flat+PQ: ADC scan + exact rerank gets near-perfect recall with a wide
+    ef on a small set (flat_index.rs:84-104)."""
+    vecs = gist_1000[:500, :24].copy()
+    queries = gist_1000[500:520, :24].copy()
+    flat = FlatIndex.from_numpy(vecs, "l2sqr")
+    cfg = PQConfig(n_bits=4, m=8, dist="l2sqr", k_means_size=250)
+    pq = PQTable.train(vecs, cfg, seed=0)
+
+    d_exact, i_exact = flat.knn_batch(queries, 10)
+    d_pq, i_pq = flat.knn_pq_batch(queries, 10, ef=200, pq=pq)
+    recall = np.mean(
+        [len(set(i_exact[q]) & set(i_pq[q])) / 10 for q in range(len(queries))]
+    )
+    assert recall > 0.9, recall
+
+
+def test_pq_serde_roundtrip(tmp_path, gist_1000):
+    vecs = gist_1000[:100, :12].copy()
+    cfg = PQConfig(n_bits=4, m=4, dist="l2sqr", k_means_size=None)
+    pq = PQTable.train(vecs, cfg, seed=3)
+    p = tmp_path / "pq.npz"
+    pq.save(str(p))
+    loaded = PQTable.load(str(p))
+    np.testing.assert_array_equal(loaded.codes, pq.codes)
+    np.testing.assert_allclose(loaded.codebooks, pq.codebooks, rtol=1e-6)
+    assert loaded.config.m == 4 and loaded.config.n_bits == 4
