@@ -46,6 +46,7 @@ def main() -> None:
     ef = int(os.environ.get("BENCH_EF", "120"))
     k = int(os.environ.get("BENCH_K", "10"))
     n_queries = int(os.environ.get("BENCH_QUERIES", "1000"))
+    expand = int(os.environ.get("BENCH_EXPAND", "1"))
     dim = 960
 
     from lab_1806_vec_db_tpu.models import FlatIndex, HNSWIndex
@@ -68,11 +69,11 @@ def main() -> None:
     log(f"build in {build_s:.1f}s")
 
     # warm-up / compile
-    index.knn_with_ef_batch(queries, k, ef)
+    index.knn_with_ef_batch(queries, k, ef, expand=expand)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        _, ids = index.knn_with_ef_batch(queries, k, ef)
+        _, ids = index.knn_with_ef_batch(queries, k, ef, expand=expand)
     elapsed = time.perf_counter() - t0
     qps = reps * n_queries / elapsed
     recall = float(

@@ -107,6 +107,20 @@ class VecDB:
         return self._inner.search(key, query, k, ef, upper_bound)
 
     @_runtime_wrap
+    def batch_search(
+        self,
+        key: str,
+        queries,
+        k: int,
+        ef: int | None = None,
+        upper_bound: float | None = None,
+    ):
+        """TPU-native extension (not in the reference API): search a whole
+        batch of queries in one device dispatch.  Returns a list (per query)
+        of (metadata, distance) lists."""
+        return self._inner.batch_search(key, queries, k, ef, upper_bound)
+
+    @_runtime_wrap
     def extract_data(self, key: str):
         return self._inner.extract_data(key)
 

@@ -291,6 +291,18 @@ class VecDBManager:
         with mgr.read():
             return mgr.obj.search(query, k, ef, upper_bound)
 
+    def batch_search(
+        self,
+        key: str,
+        queries,
+        k: int,
+        ef: int | None = None,
+        upper_bound: float | None = None,
+    ):
+        mgr = self._table_mgr(key)
+        with mgr.read():
+            return mgr.obj.batch_search(queries, k, ef, upper_bound)
+
     def extract_data(self, key: str):
         mgr = self._table_mgr(key)
         with mgr.read():

@@ -146,6 +146,41 @@ class MetadataVecTable:
             if p.distance <= ub
         ]
 
+    def batch_search(
+        self,
+        queries,
+        k: int,
+        ef: int | None = None,
+        upper_bound: float | None = None,
+    ) -> list[list[tuple[dict[str, str], float]]]:
+        """TPU-native extension: batched search. One device dispatch carries
+        the whole query batch (the reference's multi-thread fan-out,
+        examples/bench.rs:414-418, becomes device batching). Routing matches
+        `search`."""
+        import numpy as np
+
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if len(self) == 0:
+            return [[] for _ in range(len(queries))]
+        index = self.inner.inner
+        if ef is not None and self.pq is not None:
+            d, ids = index.knn_pq_batch(queries, k, ef, self.pq)
+        elif ef is not None and self.inner.is_hnsw:
+            d, ids = index.knn_with_ef_batch(queries, k, ef)
+        else:
+            # Flat ignores ef (dynamic_index.rs:75-80); HNSW without ef uses
+            # its default_ef via knn_batch
+            d, ids = index.knn_batch(queries, k)
+        ub = float("inf") if upper_bound is None else upper_bound
+        out = []
+        for qi in range(len(queries)):
+            row = []
+            for dist_val, idx in zip(d[qi], ids[qi]):
+                if idx >= 0 and dist_val <= ub:
+                    row.append((dict(self.metadata[int(idx)]), float(dist_val)))
+            out.append(row)
+        return out
+
     def extract_data(self) -> list[tuple[list[float], dict[str, str]]]:
         vecs = self.inner.inner.store.numpy()
         return [

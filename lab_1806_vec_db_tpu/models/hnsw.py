@@ -191,10 +191,10 @@ def _select_links(
 class _UpperLevel:
     """Compact link storage for one level >= 1."""
 
-    def __init__(self, m: int, cap_total: int):
+    def __init__(self, m: int, cap_total: int, init_cap: int = 16):
         self.m = m
         self.n = 0
-        self.cap = 16
+        self.cap = max(16, _pow2(init_cap))
         self.ids = np.full(self.cap, -1, np.int32)
         self.links = np.full((self.cap, m), -1, np.int32)
         self.pos = np.full(cap_total, -1, np.int32)
@@ -410,7 +410,12 @@ class HNSWIndex:
 
     def _upper(self, level: int) -> _UpperLevel:
         while len(self.upper) < level:
-            ul = _UpperLevel(self.config.m, self.store.capacity)
+            # pre-size to ~2x the expected occupancy E[n at level l] = n/M^l
+            # so device link arrays compile once instead of riding a growth
+            # ladder of shapes during bulk build
+            lvl = len(self.upper) + 1
+            expect = self.store.capacity // max(self.config.m**lvl, 1)
+            ul = _UpperLevel(self.config.m, self.store.capacity, init_cap=2 * expect)
             self.upper.append(ul)
         return self.upper[level - 1]
 

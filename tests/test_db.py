@@ -83,6 +83,43 @@ def test_table_management(tmp_path):
     db.close()
 
 
+def test_batch_search(tmp_path):
+    """TPU-native extension: one device dispatch for a whole query batch;
+    per-query results must match single `search` calls."""
+    db = VecDB(str(tmp_path / "db"))
+    db.create_table_if_not_exists("t", 8)
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((64, 8)).astype(np.float32)
+    db.batch_add("t", vecs.tolist(), [{"i": str(i)} for i in range(len(vecs))])
+
+    queries = vecs[:5]
+    batched = db.batch_search("t", queries.tolist(), 3)
+    assert len(batched) == 5
+    for qi in range(5):
+        single = db.search("t", queries[qi].tolist(), 3)
+        assert [m["i"] for m, _ in batched[qi]] == [m["i"] for m, _ in single]
+        # self-query: own row first at distance ~0
+        assert batched[qi][0][0]["i"] == str(qi)
+        assert batched[qi][0][1] < 1e-5
+
+    # upper_bound filters rows per query
+    filtered = db.batch_search("t", queries.tolist(), 3, None, 1e-5)
+    assert all(len(row) == 1 for row in filtered)
+
+    # with HNSW + ef and with PQ routing
+    db.build_hnsw_index("t")
+    b2 = db.batch_search("t", queries.tolist(), 3, 32)
+    assert [m["i"] for m, _ in b2[0]][0] == "0"
+    db.build_pq_table("t")
+    b3 = db.batch_search("t", queries.tolist(), 3, 32)
+    assert len(b3) == 5 and all(len(r) == 3 for r in b3)
+
+    # empty table -> one empty list per query
+    db.create_table_if_not_exists("empty", 8)
+    assert db.batch_search("empty", queries.tolist(), 3) == [[] for _ in range(5)]
+    db.close()
+
+
 def test_dimension_mismatch(tmp_path):
     db = VecDB(str(tmp_path / "db"))
     db.create_table_if_not_exists("t", 3)
