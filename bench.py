@@ -63,8 +63,13 @@ def main() -> None:
     log(f"ground truth in {gt_s:.1f}s")
 
     log("building HNSW (M=16, efc=200)...")
+    from lab_1806_vec_db_tpu.utils.profiling import progress_bar
+
     t0 = time.perf_counter()
-    index = HNSWIndex.build(base, "l2sqr", HNSWConfig(ef_construction=200, M=16), seed=42)
+    index = HNSWIndex.build(
+        base, "l2sqr", HNSWConfig(ef_construction=200, M=16), seed=42,
+        progress=progress_bar(n, "hnsw-build"),
+    )
     build_s = time.perf_counter() - t0
     log(f"build in {build_s:.1f}s")
 

@@ -354,9 +354,16 @@ class HNSWIndex:
         cur = 0
         while cur < n_new:
             n_now = len(self.store)
-            # n/M growth rule: young graphs get small chunks (high insertion
-            # quality), converging to the 1024-row device batch
-            size = max(1, min(n_now // self.config.m, CHUNK_LADDER[-1]))
+            # Chunk growth: floor 256, matched to graph size, capped at the
+            # 1024-row device batch.  The reference grows chunks as n/M to
+            # protect insertion quality (hnsw_index.rs:391-397), but here the
+            # intra-chunk patch uses *exact* pairwise distances
+            # (_select_links), so a chunk as large as the current graph still
+            # selects near-exact links — and for n <= ef_construction the
+            # frozen-graph beam is exhaustive anyway.  The floor removes the
+            # ~hundred tiny warmup chunks whose per-dispatch overhead
+            # dominated bulk build.
+            size = min(max(n_now, 256), CHUNK_LADDER[-1])
             size = min(size, n_new - cur)
             self._insert_chunk(vecs[cur : cur + size])
             cur += size

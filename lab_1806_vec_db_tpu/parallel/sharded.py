@@ -120,6 +120,83 @@ class ShardedFlatIndex:
         return np.asarray(d), np.asarray(i)
 
 
+@partial(jax.jit, static_argnames=("k", "ef", "dist", "mesh", "shard"))
+def _sharded_knn_pq(
+    queries, lookup, q_norms, codes, cb_sq, base, cache, n_local, k, ef, dist, mesh, shard
+):
+    """Sharded ADC scan + per-chip exact rerank + ICI top-k merge.
+
+    The PQ codes ride the same data axis as the vectors; each chip scans its
+    code shard with the lookup table (replicated — it is tiny), reranks its
+    own top-ef candidates exactly against its local vector shard, and the
+    reranked per-chip k-bests are all-gathered and merged.  This keeps the
+    heavy traffic (codes + candidate vectors) local and sends only (B, k)
+    floats over ICI.
+    """
+    from ..ops import pq as PQ
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),
+            P(None, None, None),
+            P(None),
+            P("data", None),
+            P(None, None),
+            P("data", None),
+            P("data"),
+            P("data"),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+    )
+    def kernel(q, lut, qn, codes_l, cb, base_l, cache_l, n_l):
+        d, i = PQ.adc_scan(lut, codes_l, n_l[0], cb, qn, ef, dist)
+        dd, ii = T.knn_gathered(q, base_l, i, k, dist, base_cache=cache_l)
+        offset = jax.lax.axis_index("data").astype(jnp.int32) * shard
+        ii = jnp.where(ii >= 0, ii + offset, -1)
+        all_d = jax.lax.all_gather(dd, "data", axis=1).reshape(dd.shape[0], -1)
+        all_i = jax.lax.all_gather(ii, "data", axis=1).reshape(dd.shape[0], -1)
+        return T.topk_smallest(jnp.where(all_i >= 0, all_d, jnp.inf), all_i, k)
+
+    return kernel(queries, lookup, q_norms, codes, cb_sq, base, cache, n_local)
+
+
+class ShardedPQFlatIndex:
+    """PQ-accelerated exact-reranked kNN over a sharded vector set.
+
+    The TPU-scale analog of the reference's Flat+PQ path
+    (flat_index.rs:84-104) distributed over chips.
+    """
+
+    def __init__(self, mesh: Mesh, base: np.ndarray, pq_table, dist: str):
+        D.check_dist(dist)
+        self.mesh = mesh
+        self.dist = dist
+        self.pq = pq_table
+        self.n = len(base)
+        self.dim = base.shape[1]
+        self.base, self.cache, self.n_local, self.shard = shard_base(mesh, base, dist)
+        n_dev = mesh.devices.size
+        codes = np.asarray(pq_table.codes)
+        pad = n_dev * self.shard - len(codes)
+        codes_p = np.zeros((len(codes) + pad, codes.shape[1]), codes.dtype)
+        codes_p[: len(codes)] = codes
+        self.codes = jax.device_put(codes_p, NamedSharding(mesh, P("data", None)))
+        _, cb, cb_sq = pq_table.device()
+        self.cb_sq = cb_sq
+
+    def knn_batch(self, queries: np.ndarray, k: int, ef: int | None = None):
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        ef = max(ef or k, k)
+        lookup, q_norms = self.pq.create_lookup(q)
+        d, i = _sharded_knn_pq(
+            q, lookup, q_norms, self.codes, self.cb_sq, self.base, self.cache,
+            self.n_local, k, ef, self.dist, self.mesh, self.shard,
+        )
+        return np.asarray(d), np.asarray(i)
+
+
 @partial(jax.jit, static_argnames=("dist", "mesh"))
 def kmeans_step_sharded(data, n_local, centroids, dist, mesh):
     """One Lloyd step, data-parallel over the mesh: local assignment GEMM +

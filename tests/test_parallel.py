@@ -25,6 +25,26 @@ def test_sharded_flat_matches_single_device(gist_1000):
     np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-4)
 
 
+def test_sharded_pq_matches_single_device(gist_1000):
+    """Sharded ADC scan + per-chip exact rerank must match the single-device
+    Flat knn_pq path."""
+    from lab_1806_vec_db_tpu.models import PQTable
+    from lab_1806_vec_db_tpu.utils.config import PQConfig
+
+    base = gist_1000[:300, :48].copy()
+    queries = gist_1000[500:508, :48].copy()
+    pq = PQTable.train(base, PQConfig(n_bits=4, m=16, dist="l2sqr"), seed=1)
+    mesh = S.make_mesh()
+    sharded = S.ShardedPQFlatIndex(mesh, base, pq, "l2sqr")
+    flat = FlatIndex.from_numpy(base, "l2sqr")
+    d1, i1 = sharded.knn_batch(queries, 5, ef=40)
+    d2, i2 = flat.knn_pq_batch(queries, 5, 40, pq)
+    # both rerank exactly; sharded reranks per-chip top-ef so candidate pools
+    # can differ slightly — require top-1 identity and distance-set overlap
+    np.testing.assert_array_equal(i1[:, 0], i2[:, 0])
+    assert np.mean([len(set(i1[r]) & set(i2[r])) / 5 for r in range(len(queries))]) >= 0.8
+
+
 def test_sharded_kmeans_step(gist_1000):
     base = gist_1000[:256, :16].copy()
     mesh = S.make_mesh()
