@@ -73,9 +73,15 @@ def _pow2(n: int) -> int:
 
 
 def _make_node_dist(q, q_cache, vecs, vcache, dist):
+    # Traversal distances may run on a bf16 vector copy (HBM gather-bound:
+    # half-width rows double effective bandwidth); the f32 norm caches and
+    # f32 accumulation keep the error ~1e-2 relative, fine for ordering.
+    # Final results are reranked exactly by the callers.
+    qt = q.astype(vecs.dtype)
+
     def nd(ids):  # (B, C) -> (B, C)
         v = vecs[ids]
-        dots = jnp.einsum("bd,bcd->bc", q, v, preferred_element_type=jnp.float32, precision=D.PRECISION)
+        dots = jnp.einsum("bd,bcd->bc", qt, v, preferred_element_type=jnp.float32, precision=D.PRECISION)
         vc = vcache[ids]
         if dist == "l2sqr":
             return jnp.maximum(q_cache[:, None] + vc - 2.0 * dots, 0.0)
@@ -146,9 +152,10 @@ def _greedy_upper_pq(lookup, q_norms, codes, cb_sq, links_l, pos_l, entry, iters
 @partial(jax.jit, static_argnames=("limit", "dist", "n_cand"))
 def _select_links(
     vecs,
-    chunk_vec,  # (c, dim) chunk vectors
+    vcache,  # (cap,) f32 per-row dist cache
+    chunk_vec,  # (c, dim) chunk vectors (f32)
     chunk_cache,  # (c,)
-    beam_d,  # (c, ef)
+    beam_d,  # (c, ef) — approximate (bf16 traversal) pool-selection scores
     beam_i,  # (c, ef)
     peer_ids,  # (c, c) chunk member ids (row-constant)
     peer_d,  # (c, c) chunk pairwise distances
@@ -162,6 +169,11 @@ def _select_links(
 
     This is the patch step of add_parallel (hnsw_index.rs:427-438) fused with
     connect_new_links's forward selection (hnsw_index.rs:226-235).
+
+    The beam distances come from the bf16 traversal and only select the
+    candidate *pool*; distances inside the pool are recomputed exactly in f32
+    before the selection heuristic, so link quality does not depend on
+    traversal precision.
     """
     pd = jnp.where(peer_mask, peer_d, jnp.inf)
     pi = jnp.where(peer_mask, peer_ids, -1)
@@ -177,9 +189,24 @@ def _select_links(
     all_i = jnp.where(dup, -1, all_i)
 
     sd, pos = jax.lax.top_k(-all_d, n_cand)
-    cand_d = -sd
     cand_i = jnp.take_along_axis(all_i, pos, axis=1)
-    cand_i = jnp.where(jnp.isfinite(cand_d), cand_i, -1)
+    cand_i = jnp.where(jnp.isfinite(-sd), cand_i, -1)
+
+    # exact f32 node->candidate distances, then re-sort ascending
+    safe = jnp.maximum(cand_i, 0)
+    v = vecs[safe].astype(jnp.float32)  # (c, n_cand, dim)
+    dots = jnp.einsum(
+        "bd,bcd->bc", chunk_vec.astype(jnp.float32), v,
+        preferred_element_type=jnp.float32, precision=D.PRECISION,
+    )
+    vc = vcache[safe]
+    if dist == "l2sqr":
+        cand_d = jnp.maximum(chunk_cache[:, None] + vc - 2.0 * dots, 0.0)
+    else:
+        cand_d = 1.0 - dots / jnp.maximum(chunk_cache[:, None] * vc, 1e-10)
+    cand_d = jnp.where(cand_i >= 0, cand_d, jnp.inf)
+    cand_i, cand_d = G.sort_candidates(cand_i, cand_d)
+
     pair = G.pairwise_among(vecs, cand_i, dist)
     sel, _ = G.heuristic_select(cand_i, cand_d, pair, limit)
     return sel
@@ -434,6 +461,7 @@ class HNSWIndex:
         entry_point = self.entry_point
 
         vecs, vcache = self.store.device()
+        vecs_t, _ = self.store.device_traversal()  # bf16 traversal copy
         links0 = self._links0_device()
 
         # padded chunk (dummy rows replicate the entry point, results ignored)
@@ -454,18 +482,18 @@ class HNSWIndex:
             need = plevels >= level
             if level == 0:
                 bd, bi = _beam0(
-                    q, q_cache, vecs, vcache, links0, cur, efc, iters, 1, cfg.dist
+                    q, q_cache, vecs_t, vcache, links0, cur, efc, iters, 1, cfg.dist
                 )
                 cand_by_level[0] = (np.asarray(bd), np.asarray(bi))
             else:
                 ul = self._upper(level)
                 links_l, pos_l = ul.device()
                 desc = _greedy_upper(
-                    q, q_cache, vecs, vcache, links_l, pos_l, cur, 256, cfg.dist
+                    q, q_cache, vecs_t, vcache, links_l, pos_l, cur, 256, cfg.dist
                 )
                 if need.any():
                     bd, bi = _beam_upper(
-                        q, q_cache, vecs, vcache, links_l, pos_l, cur, efc, iters, 1, cfg.dist
+                        q, q_cache, vecs_t, vcache, links_l, pos_l, cur, efc, iters, 1, cfg.dist
                     )
                     cand_by_level[level] = (np.asarray(bd), np.asarray(bi))
                     cur = jnp.where(jnp.asarray(need), bi[:, 0], desc)
@@ -491,6 +519,7 @@ class HNSWIndex:
             pm = earlier & (plevels[None, :] >= level) & need[:, None]
             sel = _select_links(
                 vecs,
+                vcache,
                 chunk_vec,
                 q_cache,
                 jnp.asarray(bd),
@@ -609,18 +638,20 @@ class HNSWIndex:
                 ul.dirty = True
 
     # ---- search ----
-    def _descend_to_level0(self, q, q_cache, vecs, vcache):
+    def _descend_to_level0(self, q, q_cache, vecs_t, vcache):
         B = q.shape[0]
         cur = jnp.full((B,), self.entry_point, jnp.int32)
         for level in range(self.enter_level, 0, -1):
             ul = self._upper(level)
             links_l, pos_l = ul.device()
-            cur = _greedy_upper(q, q_cache, vecs, vcache, links_l, pos_l, cur, 256, self.dist)
+            cur = _greedy_upper(q, q_cache, vecs_t, vcache, links_l, pos_l, cur, 256, self.dist)
         return cur
 
     def knn_with_ef_batch(self, queries: np.ndarray, k: int, ef: int, expand: int = 1):
         """Batched kNN (hnsw_index.rs:624-633): greedy descent to level 0 +
-        one beam search with ef.max(k)."""
+        one beam search with ef.max(k), traversed on the bf16 vector copy,
+        then an exact f32 rerank of the ef beam (so returned distances are
+        exact, matching the reference)."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         B = queries.shape[0]
         if len(self.store) == 0 or self.entry_point is None:
@@ -632,13 +663,15 @@ class HNSWIndex:
         from ..ops import distance as D
 
         vecs, vcache = self.store.device()
+        vecs_t, _ = self.store.device_traversal()
         links0 = self._links0_device()
         q = jnp.asarray(queries)
         q_cache = D.dist_cache(q, self.dist)
-        cur = self._descend_to_level0(q, q_cache, vecs, vcache)
+        cur = self._descend_to_level0(q, q_cache, vecs_t, vcache)
         iters = 2 * ef + 64
-        bd, bi = _beam0(q, q_cache, vecs, vcache, links0, cur, ef, iters, expand, self.dist)
-        return np.asarray(bd[:, :k]), np.asarray(bi[:, :k])
+        _, bi = _beam0(q, q_cache, vecs_t, vcache, links0, cur, ef, iters, expand, self.dist)
+        d, i = T.knn_gathered(q, vecs, bi, k, self.dist, base_cache=vcache)
+        return np.asarray(d), np.asarray(i)
 
     def knn_batch(self, queries: np.ndarray, k: int):
         return self.knn_with_ef_batch(queries, k, self.config.default_ef)

@@ -43,6 +43,7 @@ class VecStore:
         # device state
         self._dev: jax.Array | None = None
         self._dev_cache: jax.Array | None = None
+        self._dev_bf16: jax.Array | None = None
         self._dirty_rows: set[int] = set()
         self._dev_full_dirty = True
 
@@ -131,6 +132,7 @@ class VecStore:
             host[: self._n] = self._data[: self._n].astype(np.float32)
             self._dev = jnp.asarray(host)
             self._dev_cache = D.dist_cache(self._dev, self.dist)
+            self._dev_bf16 = None
             self._dev_full_dirty = False
             self._dirty_rows.clear()
         elif self._dirty_rows:
@@ -141,8 +143,25 @@ class VecStore:
             self._dev_cache = self._dev_cache.at[jnp.asarray(rows)].set(
                 D.dist_cache(vals_j, self.dist)
             )
+            if self._dev_bf16 is not None:
+                self._dev_bf16 = self._dev_bf16.at[jnp.asarray(rows)].set(
+                    vals_j.astype(jnp.bfloat16)
+                )
             self._dirty_rows.clear()
         return self._dev, self._dev_cache
+
+    def device_traversal(self) -> tuple[jax.Array, jax.Array]:
+        """Return (vectors (cap, dim) bf16, dist_cache (cap,) f32), synced.
+
+        The bf16 copy exists for graph traversal: beam/greedy search is HBM
+        gather-bound, and half-width rows double the effective bandwidth.
+        Distances computed from it are approximate (~1e-2 relative); callers
+        must rerank final results against the exact f32 view (`device()`).
+        """
+        vecs, cache = self.device()
+        if self._dev_bf16 is None:
+            self._dev_bf16 = vecs.astype(jnp.bfloat16)
+        return self._dev_bf16, cache
 
     # ---- conversions (vec_set.rs:142-163 parity) ----
     def to_type(self, dtype) -> "VecStore":
