@@ -39,6 +39,42 @@ NodeDistFn = Callable[[Array], Array]
 LinksFn = Callable[[Array], Array]
 
 
+def _sorted_merge(beam_d, beam_i, beam_e, nd, nids, ef: int):
+    """Merge a candidate tile into the sorted beam without a full sort.
+
+    The beam is kept ascending across iterations, so merging `EL` new
+    candidates only needs the new tile sorted (a small top_k) plus
+    merge-by-rank: each element's merged position is its own index plus the
+    count of smaller elements in the other list (O(ef*EL) VPU compares),
+    then two unique-index scatters build the new beam.  This replaces the
+    (ef+EL)-wide lax.top_k sort that profiled as expensive as the HBM
+    gather itself.  Ties break toward the existing beam, matching the
+    stable concat-then-top_k order used before.
+    """
+    B, EL = nd.shape
+    neg, pos = jax.lax.top_k(-nd, EL)  # ascending sort of the new tile
+    snd = -neg
+    snids = jnp.take_along_axis(nids, pos, axis=1)
+
+    rank_beam = jnp.arange(ef, dtype=jnp.int32)[None, :] + jnp.sum(
+        snd[:, None, :] < beam_d[:, :, None], axis=2, dtype=jnp.int32
+    )  # (B, ef)
+    rank_new = jnp.arange(EL, dtype=jnp.int32)[None, :] + jnp.sum(
+        beam_d[:, :, None] <= snd[:, None, :], axis=1, dtype=jnp.int32
+    )  # (B, EL)
+
+    rows = jnp.arange(B)[:, None]
+    out_d = jnp.full((B, ef), jnp.inf, beam_d.dtype)
+    out_i = jnp.full((B, ef), -1, jnp.int32)
+    out_e = jnp.zeros((B, ef), bool)
+    out_d = out_d.at[rows, rank_beam].set(beam_d, mode="drop", unique_indices=True)
+    out_i = out_i.at[rows, rank_beam].set(beam_i, mode="drop", unique_indices=True)
+    out_e = out_e.at[rows, rank_beam].set(beam_e, mode="drop", unique_indices=True)
+    out_d = out_d.at[rows, rank_new].set(snd, mode="drop", unique_indices=True)
+    out_i = out_i.at[rows, rank_new].set(snids, mode="drop", unique_indices=True)
+    return out_d, out_i, out_e
+
+
 def beam_search(
     entry: Array,
     node_dist_fn: NodeDistFn,
@@ -112,14 +148,8 @@ def beam_search(
         nd = jnp.where(fresh, nd, jnp.inf)
         nids = jnp.where(fresh, nbrs, -1)
 
-        # Merge into the beam, carrying expansion flags through the sort.
-        all_d = jnp.concatenate([beam_d, nd], axis=1)
-        all_i = jnp.concatenate([beam_i, nids], axis=1)
-        all_e = jnp.concatenate([exp_new, jnp.zeros((B, E * L), bool)], axis=1)
-        neg, pos = jax.lax.top_k(-all_d, ef)
-        beam_d = -neg
-        beam_i = jnp.take_along_axis(all_i, pos, axis=1)
-        expanded2 = jnp.take_along_axis(all_e, pos, axis=1)
+        # Merge into the sorted beam, carrying expansion flags through.
+        beam_d, beam_i, expanded2 = _sorted_merge(beam_d, beam_i, exp_new, nd, nids, ef)
         beam_i = jnp.where(jnp.isfinite(beam_d), beam_i, -1)
         expanded2 = jnp.where(beam_i >= 0, expanded2, False)
 
