@@ -9,6 +9,8 @@ rerank of the top max(ef, k) (flat_index.rs:84-104).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -17,6 +19,13 @@ from .pq_table import PQTable
 from ..ops import topk as T
 from ..utils import serde
 from ..utils.candidates import CandidatePair, pairs_from_arrays
+
+# Scan policy: "2stage" (default) runs a bf16 GEMM + approx_min_k candidate
+# pass followed by an exact f32 rerank — the MXU speed-of-light path.
+# "exact" forces the single-pass f32 scan everywhere (ground-truth mode).
+_SCAN_MODE = os.environ.get("VECDB_TPU_SCAN", "2stage")
+_EXACT_BELOW = 8192  # small sets: exact scan is cheap and compile-stable
+_RERANK_MULT = 8
 
 
 class FlatIndex:
@@ -57,14 +66,40 @@ class FlatIndex:
         return self.store.batch_push(vecs)
 
     # ---- search ----
-    def knn_batch(self, queries: np.ndarray, k: int):
-        """Batched exact kNN -> ((B, k) dists, (B, k) ids), -1 padded."""
-        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-        vecs, cache = self.store.device()
-        d, i = T.knn_scan(
-            jnp.asarray(queries), vecs, cache, jnp.int32(len(self.store)), k, self.dist
-        )
+    def knn_batch(self, queries: np.ndarray, k: int, exact: bool | None = None):
+        """Batched exact kNN -> ((B, k) dists, (B, k) ids), -1 padded.
+
+        Default path: bf16 MXU scan + approx_min_k candidate selection, then
+        exact f32 rerank of the top max(8k, 64) (returned distances are exact
+        f32, matching the reference's f32 scalar scan,
+        flat_index.rs:48-57).  `exact=True` (or VECDB_TPU_SCAN=exact) forces
+        the single-pass full-f32 scan — used for ground-truth generation.
+        """
+        d, i = self._knn_device(queries, k, exact)
         return np.asarray(d), np.asarray(i)
+
+    def _knn_device(self, queries, k: int, exact: bool | None = None):
+        """Device-resident variant of knn_batch (no host fetch; accepts an
+        already-uploaded (B, dim) device array to keep pipelines sync-free)."""
+        import jax
+
+        if isinstance(queries, jax.Array):
+            q = queries
+        else:
+            q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        n = len(self.store)
+        if exact is None:
+            exact = _SCAN_MODE == "exact" or n <= _EXACT_BELOW
+        vecs, cache = self.store.device()
+        if exact:
+            return T.knn_scan(q, vecs, cache, jnp.int32(n), k, self.dist)
+        scan_vecs, _ = self.store.device_traversal()
+        r = min(max(_RERANK_MULT * k, 64), n)
+        _, cand = T.scan_candidates(q, scan_vecs, cache, jnp.int32(n), r, self.dist)
+        # order candidates on the half-width bf16 copy (gather-bound step),
+        # then compute exact f32 distances for just the chosen k rows
+        _, top_ids = T.knn_gathered(q, scan_vecs, cand, k, self.dist, base_cache=cache)
+        return T.exact_distances_sorted(q, vecs, top_ids, self.dist, base_cache=cache)
 
     def knn(self, query, k: int) -> list[CandidatePair]:
         # Single-query fast path: the native serial scan avoids device

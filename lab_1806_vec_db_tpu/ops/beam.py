@@ -45,11 +45,11 @@ def _sorted_merge(beam_d, beam_i, beam_e, nd, nids, ef: int):
     The beam is kept ascending across iterations, so merging `EL` new
     candidates only needs the new tile sorted (a small top_k) plus
     merge-by-rank: each element's merged position is its own index plus the
-    count of smaller elements in the other list (O(ef*EL) VPU compares),
-    then two unique-index scatters build the new beam.  This replaces the
-    (ef+EL)-wide lax.top_k sort that profiled as expensive as the HBM
-    gather itself.  Ties break toward the existing beam, matching the
-    stable concat-then-top_k order used before.
+    count of smaller elements in the other list (O(ef*EL) VPU compares).
+    Ties break toward the existing beam (strict/non-strict split below), so
+    the combined ranks are a bijection onto [0, ef+EL) — the output is then
+    built with an argmax *inverse-permutation gather*, never a scatter
+    (TPU scatters profiled ~8x slower than this compare+argmax+gather).
     """
     B, EL = nd.shape
     neg, pos = jax.lax.top_k(-nd, EL)  # ascending sort of the new tile
@@ -63,15 +63,19 @@ def _sorted_merge(beam_d, beam_i, beam_e, nd, nids, ef: int):
         beam_d[:, :, None] <= snd[:, None, :], axis=1, dtype=jnp.int32
     )  # (B, EL)
 
-    rows = jnp.arange(B)[:, None]
-    out_d = jnp.full((B, ef), jnp.inf, beam_d.dtype)
-    out_i = jnp.full((B, ef), -1, jnp.int32)
-    out_e = jnp.zeros((B, ef), bool)
-    out_d = out_d.at[rows, rank_beam].set(beam_d, mode="drop", unique_indices=True)
-    out_i = out_i.at[rows, rank_beam].set(beam_i, mode="drop", unique_indices=True)
-    out_e = out_e.at[rows, rank_beam].set(beam_e, mode="drop", unique_indices=True)
-    out_d = out_d.at[rows, rank_new].set(snd, mode="drop", unique_indices=True)
-    out_i = out_i.at[rows, rank_new].set(snids, mode="drop", unique_indices=True)
+    # ranks over the concatenated source list are a permutation of
+    # [0, ef+EL); invert it for the first ef output slots by argmax over the
+    # one-hot compare matrix, then gather.
+    ranks = jnp.concatenate([rank_beam, rank_new], axis=1)  # (B, S)
+    hit = ranks[:, :, None] == jnp.arange(ef, dtype=jnp.int32)[None, None, :]
+    src = jnp.argmax(hit, axis=1).astype(jnp.int32)  # (B, ef) source index
+
+    all_d = jnp.concatenate([beam_d, snd], axis=1)
+    all_i = jnp.concatenate([beam_i, snids], axis=1)
+    all_e = jnp.concatenate([beam_e, jnp.zeros_like(snd, dtype=bool)], axis=1)
+    out_d = jnp.take_along_axis(all_d, src, axis=1)
+    out_i = jnp.take_along_axis(all_i, src, axis=1)
+    out_e = jnp.take_along_axis(all_e, src, axis=1)
     return out_d, out_i, out_e
 
 

@@ -68,12 +68,21 @@ def knn_scan(
     q = queries.astype(jnp.float32)
     q_cache = D.dist_cache(q, dist)
 
+    def select(d, ids, kk):
+        """Exact kk-smallest via approx_min_k(recall_target=1.0) — TPU's
+        partial-reduce top-k, far faster than the full-sort lax.top_k on
+        wide rows."""
+        if d.shape[-1] > 4 * kk:
+            bd, pos = jax.lax.approx_min_k(d, kk, recall_target=1.0)
+            return bd, jnp.take_along_axis(ids, pos, axis=-1)
+        return topk_smallest(d, ids, kk)
+
     if n_pad <= block:
         d = D.pairwise(q, base, dist, q_cache=q_cache)
         ids = jax.lax.broadcasted_iota(jnp.int32, (B, n_pad), 1)
         d = jnp.where(ids < n_valid, d, jnp.inf)
         kk = min(k, n_pad)
-        bd, bi = topk_smallest(d, ids, kk)
+        bd, bi = select(d, ids, kk)
         if kk < k:
             bd = jnp.pad(bd, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
             bi = jnp.pad(bi, ((0, 0), (0, k - kk)), constant_values=-1)
@@ -93,7 +102,8 @@ def knn_scan(
         d = D.pairwise(q, tile, dist, q_cache=q_cache, base_cache=tile_cache)
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (B, block), 1)
         d = jnp.where(ids < n_valid, d, jnp.inf)
-        best_d, best_i = merge_topk(best_d, best_i, d, ids, k)
+        td, ti = select(d, ids, k)
+        best_d, best_i = merge_topk(best_d, best_i, td, ti, k)
         return (best_d, best_i), None
 
     init = (
@@ -101,6 +111,129 @@ def knn_scan(
         jnp.full((B, k), INVALID_ID, dtype=jnp.int32),
     )
     (bd, bi), _ = jax.lax.scan(body, init, jnp.arange(num_blocks, dtype=jnp.int32))
+    return bd, jnp.where(jnp.isfinite(bd), bi, INVALID_ID)
+
+
+@partial(jax.jit, static_argnames=("r", "dist", "block", "recall_target"))
+def scan_candidates(
+    queries: jax.Array,
+    base_scan: jax.Array,
+    base_cache: jax.Array,
+    n_valid: jax.Array,
+    r: int,
+    dist: str,
+    block: int = 0,
+    recall_target: float = 0.99,
+) -> tuple[jax.Array, jax.Array]:
+    """Stage 1 of the two-stage exact scan: approximate candidate selection.
+
+    One (or a few) bf16 GEMM(s) over the scan copy of the base set +
+    `lax.approx_min_k` (the TPU-native partial-reduce top-k).  The distance
+    matrix is kept in bf16 to halve its HBM traffic — candidates are
+    reranked exactly in f32 afterwards (stage 2, `knn_gathered`), so only
+    candidate *selection* sees the quantization.  Blocking is chosen so the
+    (B, block) intermediate stays under ~2 GB; per-block results are merged
+    with a tiny top_k.
+
+    queries: (B, dim) f32; base_scan: (N_pad, dim) bf16 (or f32);
+    base_cache: (N_pad,) f32 per-row dist cache. Returns ((B, r) approx
+    dists, (B, r) int32 ids, -1 padded), ascending.
+    """
+    B = queries.shape[0]
+    n_pad, dim = base_scan.shape
+    qs = queries.astype(base_scan.dtype)
+    q_cache = D.dist_cache(queries.astype(jnp.float32), dist)
+    if block <= 0:
+        # bound the (B, block) bf16 intermediate to ~2 GB
+        block = max(65536, min(n_pad, (2 << 30) // (2 * max(B, 1))))
+
+    def block_dist(tile, tile_cache, start):
+        dots = jax.lax.dot_general(
+            qs, tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.bfloat16,
+        )  # (B, block) — bf16 multiplies and output; selection-grade only
+        if dist == "l2sqr":
+            d = (q_cache[:, None] + tile_cache[None, :]).astype(jnp.bfloat16) - 2.0 * dots
+        else:
+            denom = jnp.maximum(q_cache[:, None] * tile_cache[None, :], 1e-10)
+            d = 1.0 - dots / denom.astype(jnp.bfloat16)
+        ids = start + jax.lax.broadcasted_iota(jnp.int32, (B, tile.shape[0]), 1)
+        return jnp.where(ids < n_valid, d, jnp.inf).astype(jnp.bfloat16), ids
+
+    def select(d, ids, rr):
+        bd, pos = jax.lax.approx_min_k(d, rr, recall_target=recall_target)
+        return bd.astype(jnp.float32), jnp.take_along_axis(ids, pos, axis=1)
+
+    def pad_out(bd, bi, rr):
+        if rr < r:
+            bd = jnp.pad(bd, ((0, 0), (0, r - rr)), constant_values=jnp.inf)
+            bi = jnp.pad(bi, ((0, 0), (0, r - rr)), constant_values=-1)
+        return bd, jnp.where(jnp.isfinite(bd), bi, INVALID_ID)
+
+    if n_pad <= block:
+        d, ids = block_dist(base_scan, base_cache, jnp.int32(0))
+        rr = min(r, n_pad)
+        bd, bi = select(d, ids, rr)
+        return pad_out(bd, bi, rr)
+
+    num_blocks = (n_pad + block - 1) // block
+    pad_to = num_blocks * block
+    if pad_to != n_pad:
+        base_scan = jnp.pad(base_scan, ((0, pad_to - n_pad), (0, 0)))
+        base_cache = jnp.pad(base_cache, (0, pad_to - n_pad))
+    rr = min(r, block)
+
+    def body(carry, blk_idx):
+        best_d, best_i = carry
+        start = blk_idx * block
+        tile = jax.lax.dynamic_slice(base_scan, (start, 0), (block, dim))
+        tile_cache = jax.lax.dynamic_slice(base_cache, (start,), (block,))
+        d, ids = block_dist(tile, tile_cache, start)
+        td, ti = select(d, ids, rr)
+        return merge_topk(best_d, best_i, td, ti, rr), None
+
+    init = (
+        jnp.full((B, rr), jnp.inf, dtype=jnp.float32),
+        jnp.full((B, rr), INVALID_ID, dtype=jnp.int32),
+    )
+    (bd, bi), _ = jax.lax.scan(body, init, jnp.arange(num_blocks, dtype=jnp.int32))
+    return pad_out(bd, bi, rr)
+
+
+@partial(jax.jit, static_argnames=("dist",))
+def exact_distances_sorted(
+    queries: jax.Array,
+    base: jax.Array,
+    ids: jax.Array,
+    dist: str,
+    base_cache: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact f32 distances for small per-query id lists, sorted ascending.
+
+    The final step of the two-stage scan: after candidate *selection* on the
+    bf16 copy, gather only the chosen k rows from the f32 store and compute
+    the exact distances the API returns (parity with the reference's f32
+    scalar distances, src/distance/mod.rs:71-95).
+    """
+    B, k = ids.shape
+    safe = jnp.maximum(ids, 0)
+    v = base[safe].astype(jnp.float32)  # (B, k, dim)
+    q = queries.astype(jnp.float32)
+    if dist == "l2sqr":
+        diff = q[:, None, :] - v
+        d = jnp.sum(diff * diff, axis=-1)
+    else:
+        dots = jnp.sum(q[:, None, :] * v, axis=-1)
+        if base_cache is not None:
+            v_n = base_cache[safe]
+        else:
+            v_n = jnp.sqrt(jnp.sum(v * v, axis=-1))
+        q_n = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+        d = 1.0 - dots / jnp.maximum(q_n * v_n, 1e-10)
+    d = jnp.where(ids >= 0, d, jnp.inf)
+    bd, pos = jax.lax.top_k(-d, k)
+    bi = jnp.take_along_axis(ids, pos, axis=-1)
+    bd = -bd
     return bd, jnp.where(jnp.isfinite(bd), bi, INVALID_ID)
 
 
