@@ -96,8 +96,15 @@ class FlatIndex:
         scan_vecs, _ = self.store.device_traversal()
         r = min(max(_RERANK_MULT * k, 64), n)
         _, cand = T.scan_candidates(q, scan_vecs, cache, jnp.int32(n), r, self.dist)
-        # order candidates on the half-width bf16 copy (gather-bound step),
-        # then compute exact f32 distances for just the chosen k rows
+        if jax.default_backend() != "cpu":
+            # DMA-gather rerank kernel: exact f32 distances for the r
+            # candidates at HBM copy speed (ops/pallas_gather.py)
+            from ..ops import pallas_gather as PG
+
+            base_rs = self.store.device_rerank()
+            return PG.rerank_topk_rs(q, base_rs, cand, k, self.dist)
+        # CPU fallback: order candidates on the half-width bf16 copy
+        # (gather-bound step), then exact f32 distances for the chosen k rows
         _, top_ids = T.knn_gathered(q, scan_vecs, cand, k, self.dist, base_cache=cache)
         return T.exact_distances_sorted(q, vecs, top_ids, self.dist, base_cache=cache)
 

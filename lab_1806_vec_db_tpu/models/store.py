@@ -44,6 +44,7 @@ class VecStore:
         self._dev: jax.Array | None = None
         self._dev_cache: jax.Array | None = None
         self._dev_bf16: jax.Array | None = None
+        self._dev_rerank: jax.Array | None = None
         self._dirty_rows: set[int] = set()
         self._dev_full_dirty = True
 
@@ -133,6 +134,7 @@ class VecStore:
             self._dev = jnp.asarray(host)
             self._dev_cache = D.dist_cache(self._dev, self.dist)
             self._dev_bf16 = None
+            self._dev_rerank = None
             self._dev_full_dirty = False
             self._dirty_rows.clear()
         elif self._dirty_rows:
@@ -146,6 +148,14 @@ class VecStore:
             if self._dev_bf16 is not None:
                 self._dev_bf16 = self._dev_bf16.at[jnp.asarray(rows)].set(
                     vals_j.astype(jnp.bfloat16)
+                )
+            if self._dev_rerank is not None:
+                from ..ops import pallas_gather as PG
+
+                sr = PG.rerank_dim_pad(self.dim) // 128
+                slab_rows = (rows[:, None] * sr + np.arange(sr)[None, :]).reshape(-1)
+                self._dev_rerank = self._dev_rerank.at[jnp.asarray(slab_rows)].set(
+                    PG.prepare_rerank_base(vals_j)
                 )
             self._dirty_rows.clear()
         return self._dev, self._dev_cache
@@ -162,6 +172,16 @@ class VecStore:
         if self._dev_bf16 is None:
             self._dev_bf16 = vecs.astype(jnp.bfloat16)
         return self._dev_bf16, cache
+
+    def device_rerank(self) -> jax.Array:
+        """Return the (cap*SR, 128) f32 row-slab copy for the Pallas DMA
+        rerank kernel (ops/pallas_gather.py), synced and cached."""
+        from ..ops import pallas_gather as PG
+
+        vecs, _ = self.device()  # syncs dirty rows into _dev_rerank too
+        if self._dev_rerank is None:
+            self._dev_rerank = PG.prepare_rerank_base(vecs)
+        return self._dev_rerank
 
     # ---- conversions (vec_set.rs:142-163 parity) ----
     def to_type(self, dtype) -> "VecStore":

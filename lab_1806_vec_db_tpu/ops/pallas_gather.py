@@ -1,0 +1,178 @@
+"""Pallas TPU kernel: row-gather + exact distance (the rerank hot path).
+
+XLA lowers `base[ids]` row gathers to scalar-unit loads (~15 GB/s observed);
+for the two-stage scan's rerank that was ~60% of total query time.  This
+kernel instead issues one async DMA per candidate row (HBM -> VMEM, all in
+flight concurrently), then computes the exact f32 distances on the VPU — the
+gather runs at HBM copy speed and the (B, r, dim) gathered tensor never
+exists in HBM.
+
+Layout trick: Mosaic requires HBM slices to be (8, 128)-tile aligned, so a
+single (1, dim) row cannot be DMA'd.  The base set is therefore stored in
+"row-slab" layout: dim padded to a multiple of 1024 and reshaped to
+(N * SR, 128) with SR = dim_pad/128 (a multiple of 8) — each logical row is
+one aligned (SR, 128) slab, and distances are computed directly in slab
+layout (reduce over slab axes), so no relayout is ever needed.
+
+Reference behavior being accelerated: exact rerank of ADC/approximate
+candidates (src/index_algorithm/candidate_pair.rs:102-108) and the exact
+f32 distances the flat scan returns (src/distance/mod.rs:71-95).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def rerank_dim_pad(dim: int) -> int:
+    """Row-slab padded dim: next multiple of 1024 (SR = dim_pad/128 must be a
+    multiple of the 8-row sublane tile)."""
+    return ((dim + 1023) // 1024) * 1024
+
+
+def prepare_rerank_base(base: jax.Array) -> jax.Array:
+    """(N, dim) f32 -> (N * SR, 128) row-slab copy for `gather_dists_rs`.
+
+    Do this ONCE per index (it copies the data); the result reshapes back to
+    (N, dim_pad) for free (same bytes, row-major).
+    """
+    n, dim = base.shape
+    dim_pad = rerank_dim_pad(dim)
+    if dim_pad != dim:
+        base = jnp.pad(base, ((0, 0), (0, dim_pad - dim)))
+    return base.astype(jnp.float32).reshape(n * (dim_pad // 128), 128)
+
+
+def _gather_dist_kernel(
+    ids_ref,  # SMEM (1, 1, r) int32 — DMA source ids (scalar-readable)
+    idv_ref,  # VMEM (1, r, 1) int32 — same ids, vector copy for masking
+    q_ref,  # VMEM (1, SR, 128) f32 — this query in slab layout
+    base_rs,  # ANY (N*SR, 128) f32 — row-slab base, DMA'd manually
+    out_ref,  # VMEM (1, r, 1) f32
+    rows,  # scratch VMEM (r, SR, 128) f32
+    sems,  # scratch DMA sems (r,)
+    *,
+    dist: str,
+    r: int,
+    sr: int,
+):
+    def start(j, c):
+        rid = jnp.maximum(ids_ref[0, 0, j], 0)
+        src = base_rs.at[pl.ds(rid * sr, sr)]
+        pltpu.make_async_copy(src, rows.at[j], sems.at[j]).start()
+        return c
+
+    jax.lax.fori_loop(0, r, start, 0)
+
+    def wait(j, c):
+        rid = jnp.maximum(ids_ref[0, 0, j], 0)
+        src = base_rs.at[pl.ds(rid * sr, sr)]
+        pltpu.make_async_copy(src, rows.at[j], sems.at[j]).wait()
+        return c
+
+    jax.lax.fori_loop(0, r, wait, 0)
+
+    # All intermediates stay >= 2D (Mosaic cannot lay out 1D vectors).
+    q = q_ref[:]  # (1, SR, 128) broadcasts over candidates
+    v = rows[:]  # (r, SR, 128); dim-padding lanes are zero in BOTH
+    if dist == "l2sqr":
+        diff = v - q
+        d = jnp.sum(jnp.sum(diff * diff, axis=2), axis=1, keepdims=True)  # (r, 1)
+    else:
+        dots = jnp.sum(jnp.sum(v * q, axis=2), axis=1, keepdims=True)
+        vn = jnp.sqrt(jnp.sum(jnp.sum(v * v, axis=2), axis=1, keepdims=True))
+        qn = jnp.sqrt(jnp.sum(jnp.sum(q * q, axis=2), axis=1, keepdims=True))  # (1, 1)
+        d = 1.0 - dots / jnp.maximum(vn * qn, 1e-10)
+    out_ref[0] = jnp.where(idv_ref[0] >= 0, d, jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("dist", "interpret"))
+def gather_dists_rs(
+    queries: jax.Array,  # (B, dim) f32
+    base_rs: jax.Array,  # (N*SR, 128) f32 from prepare_rerank_base
+    ids: jax.Array,  # (B, r) int32, -1 padded
+    dist: str,
+    interpret: bool = False,
+) -> jax.Array:
+    """Exact f32 distances base[ids[b, j]] <-> queries[b] -> (B, r) f32.
+
+    Invalid ids (< 0) produce +inf.  One grid step per query; the r row-slab
+    fetches are issued as concurrent DMAs.
+    """
+    B, dim = queries.shape
+    dim_pad = rerank_dim_pad(dim)
+    sr = dim_pad // 128
+    r = ids.shape[1]
+    q = queries.astype(jnp.float32)
+    if dim_pad != dim:
+        q = jnp.pad(q, ((0, 0), (0, dim_pad - dim)))
+    q = q.reshape(B, sr, 128)
+    ids3 = ids.reshape(B, 1, r)
+    idc = ids.reshape(B, r, 1)
+    kernel = functools.partial(_gather_dist_kernel, dist=dist, r=r, sr=sr)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, r), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, r, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sr, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, r, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, r, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((r, sr, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((r,)),
+        ],
+        interpret=interpret,
+    )(ids3, idc, q, base_rs)
+    return out.reshape(B, r)
+
+
+def gather_dists(
+    queries: jax.Array,
+    base: jax.Array,  # (N, dim) f32 — transformed internally (copies!)
+    ids: jax.Array,
+    dist: str,
+    interpret: bool = False,
+) -> jax.Array:
+    """Convenience wrapper over `gather_dists_rs` for one-off calls; hot
+    paths should cache `prepare_rerank_base(base)` and call the _rs form."""
+    return gather_dists_rs(queries, prepare_rerank_base(base), ids, dist, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dist", "interpret"))
+def rerank_topk_rs(
+    queries: jax.Array,  # (B, dim) f32
+    base_rs: jax.Array,  # (N*SR, 128) f32
+    ids: jax.Array,  # (B, r) int32 candidates, -1 padded
+    k: int,
+    dist: str,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over candidate ids: DMA-gather + f32 distance + top_k.
+
+    Returns ((B, k) f32 dists ascending, (B, k) int32 ids, -1 padded).
+    """
+    d = gather_dists_rs(queries, base_rs, ids, dist, interpret=interpret)
+    kk = min(k, d.shape[1])
+    nd, pos = jax.lax.top_k(-d, kk)
+    bi = jnp.take_along_axis(ids, pos, axis=1)
+    bd = -nd
+    if kk < k:
+        bd = jnp.pad(bd, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        bi = jnp.pad(bi, ((0, 0), (0, k - kk)), constant_values=-1)
+    return bd, jnp.where(jnp.isfinite(bd), bi, -1)
+
+
+def rerank_topk(queries, base, ids, k, dist, interpret=False):
+    """Convenience wrapper over `rerank_topk_rs` (copies base every call)."""
+    return rerank_topk_rs(
+        queries, prepare_rerank_base(base), ids, k, dist, interpret=interpret
+    )

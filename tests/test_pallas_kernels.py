@@ -1,0 +1,86 @@
+"""Pallas scan/gather kernels vs same-semantics oracles (interpret mode on
+CPU; the same kernels compile for real on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lab_1806_vec_db_tpu.ops import distance as D
+from lab_1806_vec_db_tpu.ops import pallas_gather as PG
+from lab_1806_vec_db_tpu.ops import pallas_scan as PS
+
+
+def _make(dist, n=3000, dim=48, b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    qs = rng.standard_normal((b, dim)).astype(np.float32)
+    return base, qs
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_scan_chunkmin_matches_oracle(dist):
+    N, dim, B, r = 3000, 48, 8, 20
+    base, qs = _make(dist, N, dim, B)
+    base_d = jnp.asarray(base)
+    cache = np.asarray(D.dist_cache(base_d, dist))
+    qc = np.asarray(D.dist_cache(jnp.asarray(qs), dist))
+    base_bf = base_d.astype(jnp.bfloat16)
+
+    bd, bi = PS.scan_candidates_pallas(
+        jnp.asarray(qs), base_bf, jnp.asarray(cache), jnp.int32(N), r, dist,
+        interpret=True,
+    )
+    bd, bi = np.asarray(bd), np.asarray(bi)
+
+    # oracle with identical arithmetic: bf16 inputs, f32 accum, chunk-min 128
+    q_bf = np.asarray(jnp.asarray(qs).astype(jnp.bfloat16).astype(jnp.float32))
+    b_bf = np.asarray(base_bf.astype(jnp.float32))
+    dots = q_bf @ b_bf.T
+    if dist == "l2sqr":
+        dm = qc[:, None] + cache[None, :] - 2.0 * dots
+    else:
+        dm = 1.0 - dots / np.maximum(qc[:, None] * cache[None, :], 1e-10)
+    n_pad = ((N + 1023) // 1024) * 1024
+    dmp = np.full((B, n_pad), np.inf, np.float32)
+    dmp[:, :N] = dm
+    ch = dmp.reshape(B, n_pad // 128, 128)
+    cmin, cargmin = ch.min(2), ch.argmin(2) + np.arange(n_pad // 128)[None] * 128
+    order = np.argsort(cmin, axis=1, kind="stable")[:, :r]
+    od = np.take_along_axis(cmin, order, axis=1)
+    oi = np.take_along_axis(cargmin, order, axis=1)
+    np.testing.assert_allclose(bd, od, rtol=1e-5, atol=1e-6)
+    # ids equal except on exact distance ties
+    assert not ((bi != oi) & ~np.isclose(bd, od, rtol=1e-6)).any()
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_gather_dists_and_rerank(dist):
+    N, dim, B, r, k = 500, 70, 6, 16, 5
+    base, qs = _make(dist, N, dim, B)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, N, size=(B, r)).astype(np.int32)
+    ids[0, -1] = -1  # exercise padding
+
+    base_rs = PG.prepare_rerank_base(jnp.asarray(base))
+    gd = np.asarray(
+        PG.gather_dists_rs(jnp.asarray(qs), base_rs, jnp.asarray(ids), dist, interpret=True)
+    )
+    if dist == "l2sqr":
+        dm = ((qs[:, None, :] - base[None]) ** 2).sum(-1)
+    else:
+        dm = 1 - (qs @ base.T) / np.maximum(
+            np.linalg.norm(qs, axis=1)[:, None] * np.linalg.norm(base, axis=1)[None],
+            1e-10,
+        )
+    oracle = np.where(ids >= 0, np.take_along_axis(dm, np.maximum(ids, 0), axis=1), np.inf)
+    np.testing.assert_allclose(gd, oracle, rtol=2e-4, atol=2e-5)
+
+    bd, bi = PG.rerank_topk_rs(
+        jnp.asarray(qs), base_rs, jnp.asarray(ids), k, dist, interpret=True
+    )
+    bd, bi = np.asarray(bd), np.asarray(bi)
+    assert (np.diff(bd, axis=1) >= -1e-6).all()
+    # top-1 of the candidate set must match the oracle's best candidate
+    best = np.take_along_axis(dm, np.maximum(ids, 0), axis=1)
+    best = np.where(ids >= 0, best, np.inf).min(1)
+    np.testing.assert_allclose(bd[:, 0], best, rtol=2e-4)
