@@ -20,10 +20,12 @@ from ..ops import topk as T
 from ..utils import serde
 from ..utils.candidates import CandidatePair, pairs_from_arrays
 
-# Scan policy: "2stage" (default) runs a bf16 GEMM + approx_min_k candidate
-# pass followed by an exact f32 rerank — the MXU speed-of-light path.
-# "exact" forces the single-pass f32 scan everywhere (ground-truth mode).
-_SCAN_MODE = os.environ.get("VECDB_TPU_SCAN", "2stage")
+# Scan policy (env VECDB_TPU_SCAN):
+#   "int8"  (default) — per-row-quantized int8 MXU candidate pass (2x bf16
+#            rate, half the HBM traffic) + exact f32 rerank.
+#   "bf16" / "2stage" — bf16 MXU candidate pass + exact f32 rerank.
+#   "exact" — single-pass full-f32 scan everywhere (ground-truth mode).
+_SCAN_MODE = os.environ.get("VECDB_TPU_SCAN", "int8")
 _EXACT_BELOW = 8192  # small sets: exact scan is cheap and compile-stable
 _RERANK_MULT = 8
 
@@ -93,9 +95,15 @@ class FlatIndex:
         vecs, cache = self.store.device()
         if exact:
             return T.knn_scan(q, vecs, cache, jnp.int32(n), k, self.dist)
-        scan_vecs, _ = self.store.device_traversal()
         r = min(max(_RERANK_MULT * k, 64), n)
-        _, cand = T.scan_candidates(q, scan_vecs, cache, jnp.int32(n), r, self.dist)
+        if _SCAN_MODE == "int8":
+            base_i8, scales, cache = self.store.device_int8()
+            _, cand = T.scan_candidates_int8(
+                q, base_i8, scales, cache, jnp.int32(n), r, self.dist
+            )
+        else:
+            scan_vecs, _ = self.store.device_traversal()
+            _, cand = T.scan_candidates(q, scan_vecs, cache, jnp.int32(n), r, self.dist)
         if jax.default_backend() != "cpu":
             # DMA-gather rerank kernel: exact f32 distances for the r
             # candidates at HBM copy speed (ops/pallas_gather.py)
@@ -105,8 +113,9 @@ class FlatIndex:
             return PG.rerank_topk_rs(q, base_rs, cand, k, self.dist)
         # CPU fallback: order candidates on the half-width bf16 copy
         # (gather-bound step), then exact f32 distances for the chosen k rows
-        _, top_ids = T.knn_gathered(q, scan_vecs, cand, k, self.dist, base_cache=cache)
-        return T.exact_distances_sorted(q, vecs, top_ids, self.dist, base_cache=cache)
+        scan_vecs, scan_cache = self.store.device_traversal()
+        _, top_ids = T.knn_gathered(q, scan_vecs, cand, k, self.dist, base_cache=scan_cache)
+        return T.exact_distances_sorted(q, vecs, top_ids, self.dist, base_cache=scan_cache)
 
     def knn(self, query, k: int) -> list[CandidatePair]:
         # Single-query fast path: the native serial scan avoids device

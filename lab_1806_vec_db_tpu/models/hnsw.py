@@ -670,7 +670,16 @@ class HNSWIndex:
         cur = self._descend_to_level0(q, q_cache, vecs_t, vcache)
         iters = 2 * ef + 64
         _, bi = _beam0(q, q_cache, vecs_t, vcache, links0, cur, ef, iters, expand, self.dist)
-        d, i = T.knn_gathered(q, vecs, bi, k, self.dist, base_cache=vcache)
+        import jax
+
+        if jax.default_backend() != "cpu":
+            # DMA-gather rerank kernel (ops/pallas_gather.py): exact f32
+            # distances for the ef beam at HBM copy speed
+            from ..ops import pallas_gather as PG
+
+            d, i = PG.rerank_topk_rs(q, self.store.device_rerank(), bi, k, self.dist)
+        else:
+            d, i = T.knn_gathered(q, vecs, bi, k, self.dist, base_cache=vcache)
         return np.asarray(d), np.asarray(i)
 
     def knn_batch(self, queries: np.ndarray, k: int):

@@ -45,6 +45,7 @@ class VecStore:
         self._dev_cache: jax.Array | None = None
         self._dev_bf16: jax.Array | None = None
         self._dev_rerank: jax.Array | None = None
+        self._dev_int8: tuple[jax.Array, jax.Array] | None = None
         self._dirty_rows: set[int] = set()
         self._dev_full_dirty = True
 
@@ -135,6 +136,7 @@ class VecStore:
             self._dev_cache = D.dist_cache(self._dev, self.dist)
             self._dev_bf16 = None
             self._dev_rerank = None
+            self._dev_int8 = None
             self._dev_full_dirty = False
             self._dirty_rows.clear()
         elif self._dirty_rows:
@@ -156,6 +158,15 @@ class VecStore:
                 slab_rows = (rows[:, None] * sr + np.arange(sr)[None, :]).reshape(-1)
                 self._dev_rerank = self._dev_rerank.at[jnp.asarray(slab_rows)].set(
                     PG.prepare_rerank_base(vals_j)
+                )
+            if self._dev_int8 is not None:
+                from ..ops import topk as T
+
+                q8, sc = T.quantize_rows_int8(vals_j)
+                rows_j = jnp.asarray(rows)
+                self._dev_int8 = (
+                    self._dev_int8[0].at[rows_j].set(q8),
+                    self._dev_int8[1].at[rows_j].set(sc),
                 )
             self._dirty_rows.clear()
         return self._dev, self._dev_cache
@@ -182,6 +193,20 @@ class VecStore:
         if self._dev_rerank is None:
             self._dev_rerank = PG.prepare_rerank_base(vecs)
         return self._dev_rerank
+
+    def device_int8(self) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Return ((cap, dim) int8 per-row-quantized vectors, (cap,) f32
+        scales, (cap,) f32 exact dist_cache), synced and cached.
+
+        The int8 copy feeds stage-1 candidate selection on the int8 MXU
+        (2x bf16 rate, half the HBM traffic); results are always reranked
+        against the exact f32 view."""
+        from ..ops import topk as T
+
+        vecs, cache = self.device()
+        if self._dev_int8 is None:
+            self._dev_int8 = T.quantize_rows_int8(vecs)
+        return self._dev_int8[0], self._dev_int8[1], cache
 
     # ---- conversions (vec_set.rs:142-163 parity) ----
     def to_type(self, dtype) -> "VecStore":

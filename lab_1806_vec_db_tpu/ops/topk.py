@@ -200,6 +200,69 @@ def scan_candidates(
     return pad_out(bd, bi, rr)
 
 
+def quantize_rows_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization: x ~= q8 * scale[:, None].
+
+    Returns ((N, dim) int8, (N,) f32 scales).  Zero rows get scale 1.
+    """
+    x = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q8 = jnp.clip(jnp.round(x / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q8, scale
+
+
+@partial(jax.jit, static_argnames=("r", "dist", "recall_target"))
+def scan_candidates_int8(
+    queries: jax.Array,  # (B, dim) f32
+    base_i8: jax.Array,  # (N_pad, dim) int8 per-row quantized
+    base_scale: jax.Array,  # (N_pad,) f32 dequant scales
+    base_cache: jax.Array,  # (N_pad,) f32 exact dist cache (|x|^2 or |x|)
+    n_valid: jax.Array,
+    r: int,
+    dist: str,
+    recall_target: float = 0.99,
+) -> tuple[jax.Array, jax.Array]:
+    """Stage-1 candidate selection on the int8 MXU (2x bf16 rate, half the
+    HBM traffic of bf16).  Same contract as `scan_candidates`.
+
+    The int8 x int8 -> int32 GEMM computes raw dot products; dequantization
+    is a rank-1 scale (q_scale x row_scale) fused into the distance epilogue.
+    Exact caches keep the |q|^2/|x|^2 terms full-precision, so only the
+    cross-term carries quantization error — selection-grade, reranked
+    exactly afterwards (reference f32 parity: src/distance/mod.rs:71-95).
+    """
+    B = queries.shape[0]
+    n_pad = base_i8.shape[0]
+    q = queries.astype(jnp.float32)
+    q_cache = D.dist_cache(q, dist)
+    q8, q_scale = quantize_rows_int8(q)
+
+    dots = jax.lax.dot_general(
+        q8, base_i8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (B, N) int32
+    dots_f = dots.astype(jnp.float32) * (q_scale[:, None] * base_scale[None, :])
+    if dist == "l2sqr":
+        d = q_cache[:, None] + base_cache[None, :] - 2.0 * dots_f
+    else:
+        denom = jnp.maximum(q_cache[:, None] * base_cache[None, :], 1e-10)
+        d = 1.0 - dots_f / denom
+    ids = jax.lax.broadcasted_iota(jnp.int32, (B, n_pad), 1)
+    d = jnp.where(ids < n_valid, d.astype(jnp.bfloat16), jnp.inf)
+
+    rr = min(r, n_pad)
+    if n_pad > 4 * rr:
+        bd, pos = jax.lax.approx_min_k(d, rr, recall_target=recall_target)
+        bd = bd.astype(jnp.float32)
+        bi = jnp.take_along_axis(ids, pos, axis=1)
+    else:
+        bd, bi = topk_smallest(d.astype(jnp.float32), ids, rr)
+    if rr < r:
+        bd = jnp.pad(bd, ((0, 0), (0, r - rr)), constant_values=jnp.inf)
+        bi = jnp.pad(bi, ((0, 0), (0, r - rr)), constant_values=-1)
+    return bd, jnp.where(jnp.isfinite(bd), bi, INVALID_ID)
+
+
 @partial(jax.jit, static_argnames=("dist",))
 def exact_distances_sorted(
     queries: jax.Array,

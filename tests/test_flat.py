@@ -99,3 +99,32 @@ def test_add_and_swap_remove(gist_1000):
     index.store.swap_remove(0)  # last row moves into slot 0
     assert len(index) == 20
     assert index.knn(gist_1000[20, :8], 1)[0].index == 0
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_two_stage_int8_matches_exact(dist, gist_1000):
+    """The int8-selection + exact-rerank path (models/flat.py:_knn_device)
+    must agree with the exact f32 scan at high recall, with exact distances
+    for whatever it returns."""
+    rng = np.random.default_rng(0)
+    vecs = np.vstack([gist_1000[:, :64]] * 3) + rng.standard_normal(
+        (3000, 64)
+    ).astype(np.float32) * 1e-3
+    queries = gist_1000[:32, :64].copy()
+    index = FlatIndex.from_numpy(vecs.astype(np.float32), dist)
+
+    d_ex, i_ex = index.knn_batch(queries, 10, exact=True)
+    d_2s, i_2s = index.knn_batch(queries, 10, exact=False)
+    recall = np.mean(
+        [len(set(i_ex[i]) & set(i_2s[i])) / 10 for i in range(len(queries))]
+    )
+    assert recall >= 0.9
+    # two-stage distances are exact f32 for the ids it returns
+    for b in (0, 7, 31):
+        for j in range(10):
+            idx = i_2s[b, j]
+            if idx < 0:
+                continue
+            expect = d_ex[b][i_ex[b] == idx]
+            if len(expect):
+                np.testing.assert_allclose(d_2s[b, j], expect[0], rtol=1e-5, atol=1e-6)
