@@ -101,6 +101,36 @@ def _sharded_knn(queries, base, cache, n_local, k, dist, mesh, shard):
     return kernel(queries, base, cache, n_local)
 
 
+@partial(jax.jit, static_argnames=("k", "r", "dist", "mesh", "shard"))
+def _sharded_knn_2stage(queries, base, base_scan, cache, n_local, k, r, dist, mesh, shard):
+    """Sharded two-stage scan: per-chip bf16 candidate GEMM + approx_min_k,
+    per-chip exact f32 rerank of its own r candidates, then an ICI
+    all-gather of the (B, k) per-chip bests and a final merge.
+
+    The multi-chip form of the single-chip fast path
+    (models/flat.py:_knn_device): heavy traffic (bf16 scan + candidate
+    vector reads) stays shard-local; only (B, k) floats ride ICI.
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None), P("data", None), P("data", None), P("data"), P("data")),
+        out_specs=(P(None, None), P(None, None)),
+    )
+    def kernel(q, base_l, scan_l, cache_l, n_l):
+        _, cand = T.scan_candidates(q, scan_l, cache_l, n_l[0], r, dist)
+        dd, ii = T.exact_distances_sorted(q, base_l, cand, dist, base_cache=cache_l)
+        dd, ii = dd[:, :k], ii[:, :k]
+        offset = jax.lax.axis_index("data").astype(jnp.int32) * shard
+        ii = jnp.where(ii >= 0, ii + offset, -1)
+        all_d = jax.lax.all_gather(dd, "data", axis=1).reshape(dd.shape[0], -1)
+        all_i = jax.lax.all_gather(ii, "data", axis=1).reshape(dd.shape[0], -1)
+        return T.topk_smallest(jnp.where(all_i >= 0, all_d, jnp.inf), all_i, k)
+
+    return kernel(queries, base, base_scan, cache, n_local)
+
+
 class ShardedFlatIndex:
     """Exact kNN over a vector set sharded across every chip in the mesh."""
 
@@ -111,12 +141,28 @@ class ShardedFlatIndex:
         self.n = len(base)
         self.dim = base.shape[1]
         self.base, self.cache, self.n_local, self.shard = shard_base(mesh, base, dist)
+        self._scan = None
 
-    def knn_batch(self, queries: np.ndarray, k: int):
+    def knn_batch(self, queries: np.ndarray, k: int, exact: bool = True):
+        """Batched kNN.  exact=True runs the single-pass f32 scan per shard;
+        exact=False runs the two-stage bf16-candidates + exact-rerank path
+        (same recall profile as the single-chip fast path)."""
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
-        d, i = _sharded_knn(
-            q, self.base, self.cache, self.n_local, k, self.dist, self.mesh, self.shard
-        )
+        if exact:
+            d, i = _sharded_knn(
+                q, self.base, self.cache, self.n_local, k, self.dist, self.mesh, self.shard
+            )
+        else:
+            if self._scan is None:
+                self._scan = jax.jit(
+                    lambda x: x.astype(jnp.bfloat16),
+                    out_shardings=NamedSharding(self.mesh, P("data", None)),
+                )(self.base)
+            r = min(max(8 * k, 64), self.shard)
+            d, i = _sharded_knn_2stage(
+                q, self.base, self._scan, self.cache, self.n_local, k, r,
+                self.dist, self.mesh, self.shard,
+            )
         return np.asarray(d), np.asarray(i)
 
 

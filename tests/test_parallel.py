@@ -72,3 +72,14 @@ def test_graft_entry_compiles():
     assert d.shape == (4, 16)
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_two_stage_matches_exact(gist_1000):
+    base = np.vstack([gist_1000[:, :32]] * 2).astype(np.float32)  # 2000 rows
+    queries = gist_1000[:16, :32].copy()
+    index = S.ShardedFlatIndex(S.make_mesh(), base, "l2sqr")
+    d_ex, i_ex = index.knn_batch(queries, 10, exact=True)
+    d_2s, i_2s = index.knn_batch(queries, 10, exact=False)
+    recall = np.mean([len(set(i_ex[b]) & set(i_2s[b])) / 10 for b in range(16)])
+    assert recall >= 0.9
+    assert (np.diff(d_2s, axis=1) >= -1e-6).all()
