@@ -49,7 +49,7 @@ from ..utils import serde
 from ..utils.candidates import CandidatePair, pairs_from_arrays
 
 HEURISTIC_CAND = 64
-CHUNK_LADDER = (1, 4, 16, 64, 256, 1024)
+CHUNK_LADDER = (1, 4, 16, 64, 256, 1024, 4096)
 START_BATCH_SINCE = 1000  # hnsw_index.rs:506
 
 
@@ -94,18 +94,6 @@ def _make_node_dist(q, q_cache, vecs, vcache, dist):
 def _beam0(q, q_cache, vecs, vcache, links0, entry, ef, iters, expand, dist):
     nd = _make_node_dist(q, q_cache, vecs, vcache, dist)
     lf = lambda ids: links0[ids]
-    return BM.beam_search(entry, nd, lf, ef, iters, expand)
-
-
-@partial(jax.jit, static_argnames=("ef", "iters", "expand", "dist"))
-def _beam_upper(q, q_cache, vecs, vcache, links_l, pos_l, entry, ef, iters, expand, dist):
-    nd = _make_node_dist(q, q_cache, vecs, vcache, dist)
-
-    def lf(ids):
-        rows = pos_l[ids]
-        out = links_l[jnp.maximum(rows, 0)]
-        return jnp.where((rows >= 0)[..., None], out, -1)
-
     return BM.beam_search(entry, nd, lf, ef, iters, expand)
 
 
@@ -155,26 +143,33 @@ def _select_links(
     vcache,  # (cap,) f32 per-row dist cache
     chunk_vec,  # (c, dim) chunk vectors (f32)
     chunk_cache,  # (c,)
-    beam_d,  # (c, ef) — approximate (bf16 traversal) pool-selection scores
+    beam_d,  # (c, ef) — candidate-pool scores (scan or beam)
     beam_i,  # (c, ef)
-    peer_ids,  # (c, c) chunk member ids (row-constant)
+    pids,  # (c,) chunk member ids
+    plevels,  # (c,) chunk member levels (-1 for padding rows)
+    level,  # () traced level being linked
     peer_d,  # (c, c) chunk pairwise distances
-    peer_mask,  # (c, c) peer j valid for node i at this level
     limit: int,
     dist: str,
     n_cand: int,
 ):
-    """Merge frozen-graph beam candidates with intra-chunk peers, sort, and
+    """Merge frozen-graph candidates with intra-chunk peers, sort, and
     run the neighbor-selection heuristic.  Returns (c, limit) selected ids.
 
     This is the patch step of add_parallel (hnsw_index.rs:427-438) fused with
     connect_new_links's forward selection (hnsw_index.rs:226-235).
 
-    The beam distances come from the bf16 traversal and only select the
-    candidate *pool*; distances inside the pool are recomputed exactly in f32
-    before the selection heuristic, so link quality does not depend on
-    traversal precision.
+    The pool distances may be approximate (bf16/int8 selection); distances
+    inside the pool are recomputed exactly in f32 before the selection
+    heuristic, so link quality does not depend on selection precision.
     """
+    c = pids.shape[0]
+    # peer mask on device: j earlier than i in chunk order, level_j >= level
+    order = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    earlier = order < jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    need = plevels >= level
+    peer_mask = earlier & (plevels[None, :] >= level) & need[:, None]
+    peer_ids = jnp.broadcast_to(pids[None, :], (c, c))
     pd = jnp.where(peer_mask, peer_d, jnp.inf)
     pi = jnp.where(peer_mask, peer_ids, -1)
     all_d = jnp.concatenate([beam_d, pd], axis=1)
@@ -210,6 +205,37 @@ def _select_links(
     pair = G.pairwise_among(vecs, cand_i, dist)
     sel, _ = G.heuristic_select(cand_i, cand_d, pair, limit)
     return sel
+
+
+@partial(jax.jit, static_argnames=("k", "dist"))
+def _member_knn(q, q_cache, vecs, vcache, mem_ids, n_mem, k, dist):
+    """Exact kNN of the chunk against an upper level's member subset.
+
+    mem_ids: (n_pad,) int32 member node ids (-1 padded); n_mem: () traced
+    count.  Returns ((c, k) f32 dists ascending, (c, k) int32 node ids).
+    Upper levels hold ~n/M^l nodes, so gather + one GEMM beats any graph
+    traversal on this hardware.
+    """
+    mv = vecs[jnp.maximum(mem_ids, 0)].astype(jnp.float32)  # (n_pad, dim)
+    mc = vcache[jnp.maximum(mem_ids, 0)]
+    dots = jnp.einsum(
+        "bd,nd->bn", q.astype(jnp.float32), mv,
+        preferred_element_type=jnp.float32, precision=D.PRECISION,
+    )
+    if dist == "l2sqr":
+        d = jnp.maximum(q_cache[:, None] + mc[None, :] - 2.0 * dots, 0.0)
+    else:
+        d = 1.0 - dots / jnp.maximum(q_cache[:, None] * mc[None, :], 1e-10)
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d = jnp.where((col < n_mem) & (mem_ids[None, :] >= 0), d, jnp.inf)
+    kk = min(k, d.shape[1])
+    nd, pos = jax.lax.top_k(-d, kk)
+    bi = mem_ids[pos]  # (c, kk) gather of node ids by column position
+    bd = -nd
+    if kk < k:
+        bd = jnp.pad(bd, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        bi = jnp.pad(bi, ((0, 0), (0, k - kk)), constant_values=-1)
+    return bd, jnp.where(jnp.isfinite(bd), bi, -1)
 
 
 # --------------------------------------------------------------------------
@@ -454,84 +480,106 @@ class HNSWIndex:
         return self.upper[level - 1]
 
     def _insert_ids(self, ids: np.ndarray, levels: np.ndarray) -> None:
+        """Scan-based chunk insert.
+
+        The reference finds insertion candidates by beam-searching the frozen
+        graph (add_parallel, hnsw_index.rs:399-457) because CPU brute force
+        is unaffordable.  On TPU the inversion holds: an exact two-stage MXU
+        scan of the frozen prefix produces *exact* ef_construction-NN
+        candidate pools faster than any traversal (and with better link
+        quality), so bulk build never touches the graph it is building —
+        level 0 candidates come from the int8/bf16 candidate scan + exact
+        rerank, upper-level candidates from an exact member-subset GEMM.
+        All intermediates stay on device; only the selected links (c x m
+        int32) ever cross the host boundary.
+        """
+        import jax
+
         cfg = self.config
         c = len(ids)
         c_pad = _pad_ladder(c)
-        enter_level = self.enter_level
         entry_point = self.entry_point
+        n_prev = int(ids.min())  # ids are appended: rows [0, n_prev) are the
+        # frozen prefix the chunk searches against
 
         vecs, vcache = self.store.device()
-        vecs_t, _ = self.store.device_traversal()  # bf16 traversal copy
-        links0 = self._links0_device()
 
         # padded chunk (dummy rows replicate the entry point, results ignored)
         pids = np.full(c_pad, entry_point, np.int32)
         pids[:c] = ids
         plevels = np.full(c_pad, -1, np.int32)
         plevels[:c] = levels
+        pids_dev = jnp.asarray(pids)
+        plevels_dev = jnp.asarray(plevels)
 
-        q = vecs[jnp.asarray(pids)]
-        q_cache = vcache[jnp.asarray(pids)]
+        q = vecs[pids_dev]
+        q_cache = vcache[pids_dev]
 
         efc = cfg.ef_construction
-        iters = 2 * efc + 64
+        on_tpu = jax.default_backend() != "cpu"
 
-        cur = jnp.full((c_pad,), entry_point, jnp.int32)
-        cand_by_level: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for level in range(enter_level, -1, -1):
-            need = plevels >= level
-            if level == 0:
-                bd, bi = _beam0(
-                    q, q_cache, vecs_t, vcache, links0, cur, efc, iters, 1, cfg.dist
-                )
-                cand_by_level[0] = (np.asarray(bd), np.asarray(bi))
-            else:
-                ul = self._upper(level)
-                links_l, pos_l = ul.device()
-                desc = _greedy_upper(
-                    q, q_cache, vecs_t, vcache, links_l, pos_l, cur, 256, cfg.dist
-                )
-                if need.any():
-                    bd, bi = _beam_upper(
-                        q, q_cache, vecs_t, vcache, links_l, pos_l, cur, efc, iters, 1, cfg.dist
-                    )
-                    cand_by_level[level] = (np.asarray(bd), np.asarray(bi))
-                    cur = jnp.where(jnp.asarray(need), bi[:, 0], desc)
-                else:
-                    cur = desc
-
-        # intra-chunk patch distances (hnsw_index.rs:430-437)
+        # level-0 candidate pool: exact-grade two-stage scan of the prefix
         from ..ops import distance as D
 
-        chunk_vec = vecs[jnp.asarray(pids)]
-        peer_d = np.asarray(
-            D.pairwise(chunk_vec, chunk_vec, cfg.dist)
-        )  # (c_pad, c_pad) — row i, col j = d(i, j)
-        peer_ids_np = np.broadcast_to(pids[None, :], (c_pad, c_pad)).copy()
+        r = min(efc, self.store.capacity)
+        if on_tpu and n_prev > 4 * r:
+            base_i8, scales, _ = self.store.device_int8()
+            _, cand = T.scan_candidates_int8(
+                q, base_i8, scales, vcache, jnp.int32(n_prev), r, cfg.dist
+            )
+            from ..ops import pallas_gather as PG
 
-        links0_rows_to_write: dict[int, np.ndarray] = {}
+            bd0, bi0 = PG.rerank_topk_rs(
+                q, self.store.device_rerank(), cand, r, cfg.dist
+            )
+        else:
+            bd0, bi0 = T.knn_scan(q, vecs, vcache, jnp.int32(n_prev), r, cfg.dist)
+        cand_by_level: dict[int, tuple[jax.Array, jax.Array]] = {0: (bd0, bi0)}
+
+        # upper-level pools: exact kNN among that level's (frozen) members
+        for level in range(1, int(levels.max()) + 1 if c else 1):
+            if not (plevels >= level).any():
+                continue
+            ul = self._upper(level)
+            mem = ul.ids[: ul.n]
+            mem = mem[(mem >= 0) & (mem < n_prev)]
+            if len(mem) == 0:
+                continue
+            n_pad = _pow2(len(mem))
+            mem_p = np.full(n_pad, -1, np.int32)
+            mem_p[: len(mem)] = mem
+            k_l = min(efc, n_pad)
+            bd, bi = _member_knn(
+                q, q_cache, vecs, vcache, jnp.asarray(mem_p),
+                jnp.int32(len(mem)), k_l, cfg.dist,
+            )
+            cand_by_level[level] = (bd, bi)
+
+        # intra-chunk patch distances (hnsw_index.rs:430-437)
+        chunk_vec = q
+        peer_d = D.pairwise(chunk_vec, chunk_vec, cfg.dist)  # device (c_pad, c_pad)
+
         for level in sorted(cand_by_level.keys(), reverse=True):
             bd, bi = cand_by_level[level]
             need = plevels >= level
-            # peer mask: j earlier than i in chunk order, level_j >= level
-            order = np.arange(c_pad)
-            earlier = order[None, :] < order[:, None]
-            pm = earlier & (plevels[None, :] >= level) & need[:, None]
+            if not need.any():
+                continue
             sel = _select_links(
                 vecs,
                 vcache,
                 chunk_vec,
                 q_cache,
-                jnp.asarray(bd),
-                jnp.asarray(bi),
-                jnp.asarray(peer_ids_np),
-                jnp.asarray(peer_d),
-                jnp.asarray(pm),
+                bd,
+                bi,
+                pids_dev,
+                plevels_dev,
+                jnp.int32(level),
+                peer_d,
                 cfg.m,
                 cfg.dist,
                 min(HEURISTIC_CAND, bd.shape[1] + c_pad),
             )
-            sel = np.asarray(sel)  # (c_pad, m)
+            sel = np.asarray(sel)  # (c_pad, m) — the only per-level download
 
             limit = cfg.max_m0 if level == 0 else cfg.m
             # forward links (initially limited to m even at level 0,
@@ -574,7 +622,7 @@ class HNSWIndex:
                 self.enter_level = int(levels[r])
                 self.entry_point = int(ids[r])
 
-    _REV_ADD_CAP = 16  # max new candidates folded into one arrange round
+    _REV_ADD_CAP = 64  # max new candidates folded into one arrange round
 
     def _apply_reverse(self, level: int, rev_edges: dict[int, list[int]], limit: int) -> None:
         """Batched reverse-link arrangement; large add-lists are split into

@@ -122,7 +122,11 @@ class VecStore:
         if self._dev_full_dirty:
             return
         self._dirty_rows.add(row)
-        if len(self._dirty_rows) > max(1024, self._cap // 8):
+        # Full rebuild only when a big fraction changed: a rebuild re-uploads
+        # the whole set (tunnel-bound) and invalidates every derived copy
+        # (bf16/int8/rerank slab), so incremental row-scatter wins until the
+        # dirty set approaches half the data.
+        if len(self._dirty_rows) > max(16384, self._cap // 2):
             self._dev_full_dirty = True
             self._dirty_rows.clear()
 
