@@ -24,6 +24,38 @@ from ..ops import distance as D
 _MIN_CAP = 8
 
 
+from functools import partial as _partial
+
+
+@_partial(
+    jax.jit,
+    static_argnames=("dist", "flags", "sr"),
+    donate_argnums=(0, 1, 2, 3, 4),
+)
+def _sync_rows_jit(dev, cache, bf16, slab, int8pair, rows, vals, dist, flags, sr):
+    """Scatter `vals` into row `rows` of every live device mirror in ONE
+    dispatch, with donated (in-place) buffers."""
+    has_bf16, has_rerank, has_int8 = flags
+    dev = dev.at[rows].set(vals)
+    cache = cache.at[rows].set(D.dist_cache(vals, dist))
+    if has_bf16:
+        bf16 = bf16.at[rows].set(vals.astype(jnp.bfloat16))
+    if has_rerank:
+        dim_pad = sr * 128
+        v = vals
+        if dim_pad != v.shape[1]:
+            v = jnp.pad(v, ((0, 0), (0, dim_pad - v.shape[1])))
+        slab_rows = (rows[:, None] * sr + jnp.arange(sr, dtype=rows.dtype)[None, :]).reshape(-1)
+        slab = slab.at[slab_rows].set(v.reshape(-1, 128))
+    if has_int8:
+        from ..ops import topk as T
+
+        q8v, scv = T.quantize_rows_int8(vals)
+        q8, sc = int8pair
+        int8pair = (q8.at[rows].set(q8v), sc.at[rows].set(scv))
+    return dev, cache, bf16, slab, int8pair
+
+
 def _round_cap(n: int) -> int:
     cap = _MIN_CAP
     while cap < n:
@@ -144,34 +176,43 @@ class VecStore:
             self._dev_full_dirty = False
             self._dirty_rows.clear()
         elif self._dirty_rows:
-            rows = np.fromiter(self._dirty_rows, dtype=np.int64)
+            rows = np.fromiter(self._dirty_rows, dtype=np.int32)
             vals = self._data[rows].astype(np.float32)
-            vals_j = jnp.asarray(vals)
-            self._dev = self._dev.at[jnp.asarray(rows)].set(vals_j)
-            self._dev_cache = self._dev_cache.at[jnp.asarray(rows)].set(
-                D.dist_cache(vals_j, self.dist)
+            # one fused + donated dispatch: every live device mirror updates
+            # in place in a single round trip (eager .at[].set chains paid
+            # ~23 ms tunnel latency each and copied the full arrays)
+            def dummy():
+                # distinct buffer per donated slot (same buffer cannot be
+                # donated twice in one call)
+                return jnp.zeros((0,), jnp.float32)
+
+            flags = (
+                self._dev_bf16 is not None,
+                self._dev_rerank is not None,
+                self._dev_int8 is not None,
             )
-            if self._dev_bf16 is not None:
-                self._dev_bf16 = self._dev_bf16.at[jnp.asarray(rows)].set(
-                    vals_j.astype(jnp.bfloat16)
-                )
-            if self._dev_rerank is not None:
-                from ..ops import pallas_gather as PG
+            from ..ops import pallas_gather as PG
 
-                sr = PG.rerank_dim_pad(self.dim) // 128
-                slab_rows = (rows[:, None] * sr + np.arange(sr)[None, :]).reshape(-1)
-                self._dev_rerank = self._dev_rerank.at[jnp.asarray(slab_rows)].set(
-                    PG.prepare_rerank_base(vals_j)
-                )
-            if self._dev_int8 is not None:
-                from ..ops import topk as T
-
-                q8, sc = T.quantize_rows_int8(vals_j)
-                rows_j = jnp.asarray(rows)
-                self._dev_int8 = (
-                    self._dev_int8[0].at[rows_j].set(q8),
-                    self._dev_int8[1].at[rows_j].set(sc),
-                )
+            sr = PG.rerank_dim_pad(self.dim) // 128
+            dev, cache, bf16, slab, int8pair = _sync_rows_jit(
+                self._dev,
+                self._dev_cache,
+                self._dev_bf16 if flags[0] else dummy(),
+                self._dev_rerank if flags[1] else dummy(),
+                self._dev_int8 if flags[2] else (dummy(), dummy()),
+                jnp.asarray(rows),
+                jnp.asarray(vals),
+                self.dist,
+                flags,
+                sr,
+            )
+            self._dev, self._dev_cache = dev, cache
+            if flags[0]:
+                self._dev_bf16 = bf16
+            if flags[1]:
+                self._dev_rerank = slab
+            if flags[2]:
+                self._dev_int8 = int8pair
             self._dirty_rows.clear()
         return self._dev, self._dev_cache
 

@@ -50,7 +50,7 @@ def prepare_rerank_base(base: jax.Array) -> jax.Array:
 
 def _gather_dist_kernel(
     ids_ref,  # SMEM (1, 1, r) int32 — DMA source ids (scalar-readable)
-    qn_ref,  # SMEM (1, 1) f32 — |q| for cosine (ignored for l2sqr)
+    qn_ref,  # SMEM (1, 1, 1) f32 — |q| for cosine (ignored for l2sqr)
     idv_ref,  # VMEM (1, r, 1) int32 — same ids, vector copy for masking
     q_ref,  # VMEM (1, SR, 128) f32 — this query in slab layout
     base_rs,  # ANY (N*SR, 128) f32 — row-slab base, DMA'd manually
@@ -89,7 +89,7 @@ def _gather_dist_kernel(
         vn = jnp.sqrt(jnp.sum(jnp.sum(v * v, axis=2), axis=1, keepdims=True))
         # |q| comes via SMEM: reducing the (1, SR) query square-sum in-kernel
         # trips a Mosaic relayout bug on replicated singleton rows
-        d = 1.0 - dots / jnp.maximum(vn * qn_ref[0, 0], 1e-10)
+        d = 1.0 - dots / jnp.maximum(vn * qn_ref[0, 0, 0], 1e-10)
     out_ref[0] = jnp.where(idv_ref[0] >= 0, d, jnp.inf)
 
 
@@ -113,7 +113,7 @@ def gather_dists_rs(
     q = queries.astype(jnp.float32)
     if dim_pad != dim:
         q = jnp.pad(q, ((0, 0), (0, dim_pad - dim)))
-    q_norms = jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True))  # (B, 1)
+    q_norms = jnp.sqrt(jnp.sum(q * q, axis=1)).reshape(B, 1, 1)
     q = q.reshape(B, sr, 128)
     ids3 = ids.reshape(B, 1, r)
     idc = ids.reshape(B, r, 1)
@@ -123,7 +123,7 @@ def gather_dists_rs(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, r), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, r, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sr, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
