@@ -34,6 +34,8 @@ def main(argv=None) -> None:
     ap.add_argument("-d", "--dim", type=int, default=960)
     ap.add_argument("--prefix", required=True)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-q", "--queries", type=int, default=0,
+                    help="also write <prefix>_test.local.bin in-distribution queries")
     ap.add_argument("--gnd", default=None, help="also generate ground truth vs this test set")
     ap.add_argument("--gnd-out", default=None)
     args = ap.parse_args(argv)
@@ -42,6 +44,17 @@ def main(argv=None) -> None:
     out = f"{args.prefix}.local.bin"
     io.save_raw(out, base)
     print(f"Wrote {out}: {base.shape}")
+
+    if args.queries:
+        # queries from the SAME clustered distribution (perturbed base
+        # points) — out-of-distribution queries make quantized search
+        # (PQ/IVF) recall meaningless
+        rng = np.random.default_rng(args.seed + 1)
+        sel = rng.integers(0, args.n, size=args.queries)
+        qs = base[sel] + 0.2 * rng.standard_normal((args.queries, args.dim)).astype(np.float32)
+        qout = f"{args.prefix}_test.local.bin"
+        io.save_raw(qout, qs.astype(np.float32))
+        print(f"Wrote {qout}: {qs.shape}")
 
     if args.gnd:
         from ..models import FlatIndex

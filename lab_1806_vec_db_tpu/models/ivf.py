@@ -111,8 +111,19 @@ class IVFIndex:
         _, probe_ids = KM.find_n_nearest(q_dev, centroids, n_probes, self.dist)
         cand = posting[probe_ids]  # (B, n_probes, Lmax)
         cand = cand.reshape(cand.shape[0], -1)
-        vecs, cache = self.store.device()
-        d, i = T.knn_gathered(q_dev, vecs, cand, k, self.dist, base_cache=cache)
+        import jax
+
+        if jax.default_backend() != "cpu":
+            # probe unions can span most of the set — stream them through
+            # the DMA-gather kernel instead of one giant XLA gather
+            from ..ops import pallas_gather as PG
+
+            d, i = PG.rerank_topk_blocked(
+                q_dev, self.store.device_rerank(), cand, k, self.dist
+            )
+        else:
+            vecs, cache = self.store.device()
+            d, i = T.knn_gathered(q_dev, vecs, cand, k, self.dist, base_cache=cache)
         return np.asarray(d), np.asarray(i)
 
     def knn(self, query, k: int) -> list[CandidatePair]:

@@ -29,6 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_SEM_BANK = 128  # DMA semaphores per wave (sflag space holds ~500 total)
+
+
 def rerank_dim_pad(dim: int) -> int:
     """Row-slab padded dim: next multiple of 1024 (SR = dim_pad/128 must be a
     multiple of the 8-row sublane tile)."""
@@ -62,21 +65,45 @@ def _gather_dist_kernel(
     r: int,
     sr: int,
 ):
-    def start(j, c):
+    # DMA semaphores live in tiny sflag memory (~500 total), so the copies
+    # run in pipelined waves over a fixed 2 x _SEM_BANK bank: wave w+1's
+    # copies are in flight while wave w is being waited on.
+    n_waves = (r + _SEM_BANK - 1) // _SEM_BANK
+
+    def _copy(j, bank):
         rid = jnp.maximum(ids_ref[0, 0, j], 0)
         src = base_rs.at[pl.ds(rid * sr, sr)]
-        pltpu.make_async_copy(src, rows.at[j], sems.at[j]).start()
+        return pltpu.make_async_copy(src, rows.at[j], sems.at[bank, j % _SEM_BANK])
+
+    def start_wave(w):
+        lo = w * _SEM_BANK
+
+        def s(j, c):
+            _copy(j, w % 2).start()
+            return c
+
+        jax.lax.fori_loop(lo, jnp.minimum(lo + _SEM_BANK, r), s, 0)
+
+    def wait_wave(w):
+        lo = w * _SEM_BANK
+
+        def s(j, c):
+            _copy(j, w % 2).wait()
+            return c
+
+        jax.lax.fori_loop(lo, jnp.minimum(lo + _SEM_BANK, r), s, 0)
+
+    start_wave(jnp.int32(0))
+
+    def wave_body(w, c):
+        @pl.when(w + 1 < n_waves)
+        def _():
+            start_wave(w + 1)
+
+        wait_wave(w)
         return c
 
-    jax.lax.fori_loop(0, r, start, 0)
-
-    def wait(j, c):
-        rid = jnp.maximum(ids_ref[0, 0, j], 0)
-        src = base_rs.at[pl.ds(rid * sr, sr)]
-        pltpu.make_async_copy(src, rows.at[j], sems.at[j]).wait()
-        return c
-
-    jax.lax.fori_loop(0, r, wait, 0)
+    jax.lax.fori_loop(0, n_waves, wave_body, 0)
 
     # All intermediates stay >= 2D (Mosaic cannot lay out 1D vectors).
     q = q_ref[:]  # (1, SR, 128) broadcasts over candidates
@@ -132,7 +159,7 @@ def gather_dists_rs(
         out_shape=jax.ShapeDtypeStruct((B, r, 1), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((r, sr, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((r,)),
+            pltpu.SemaphoreType.DMA((2, min(r, _SEM_BANK))),
         ],
         interpret=interpret,
     )(ids3, q_norms, idc, q, base_rs)
@@ -180,3 +207,49 @@ def rerank_topk(queries, base, ids, k, dist, interpret=False):
     return rerank_topk_rs(
         queries, prepare_rerank_base(base), ids, k, dist, interpret=interpret
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dist", "block", "interpret"))
+def rerank_topk_blocked(
+    queries: jax.Array,  # (B, dim) f32
+    base_rs: jax.Array,  # (N*SR, 128) f32
+    ids: jax.Array,  # (B, C) int32 candidates, -1 padded; C may be large
+    k: int,
+    dist: str,
+    block: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over a WIDE candidate list (e.g. IVF posting unions).
+
+    Streams the candidates through the DMA-gather kernel `block` ids at a
+    time with a running top-k merge, so the gathered vectors never exceed
+    (B, block, dim) — an XLA `base[ids]` gather would materialize the whole
+    (B, C, dim) tensor (tens of GB for IVF probe unions).
+    """
+    from .topk import INVALID_ID, merge_topk, topk_smallest
+
+    B, C = ids.shape
+    if C <= block:
+        return rerank_topk_rs(queries, base_rs, ids, k, dist, interpret=interpret)
+    pad = (-C) % block
+    if pad:
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+    n_blocks = ids.shape[1] // block
+    kk = min(k, block)
+
+    def body(carry, blk):
+        best_d, best_i = carry
+        sl = jax.lax.dynamic_slice(ids, (0, blk * block), (B, block))
+        d = gather_dists_rs(queries, base_rs, sl, dist, interpret=interpret)
+        td, ti = topk_smallest(d, sl, kk)
+        return merge_topk(best_d, best_i, td, ti, kk), None
+
+    init = (
+        jnp.full((B, kk), jnp.inf, jnp.float32),
+        jnp.full((B, kk), INVALID_ID, jnp.int32),
+    )
+    (bd, bi), _ = jax.lax.scan(body, init, jnp.arange(n_blocks, dtype=jnp.int32))
+    if kk < k:
+        bd = jnp.pad(bd, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        bi = jnp.pad(bi, ((0, 0), (0, k - kk)), constant_values=-1)
+    return bd, jnp.where(jnp.isfinite(bd), bi, -1)

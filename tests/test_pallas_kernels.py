@@ -84,3 +84,20 @@ def test_gather_dists_and_rerank(dist):
     best = np.take_along_axis(dm, np.maximum(ids, 0), axis=1)
     best = np.where(ids >= 0, best, np.inf).min(1)
     np.testing.assert_allclose(bd[:, 0], best, rtol=2e-4)
+
+
+def test_rerank_topk_blocked_matches_unblocked():
+    rng = np.random.default_rng(2)
+    N, dim, B, C, k = 400, 70, 5, 150, 8
+    base = rng.standard_normal((N, dim)).astype(np.float32)
+    qs = rng.standard_normal((B, dim)).astype(np.float32)
+    ids = rng.permutation(N)[:C]  # unique candidates
+    ids = np.broadcast_to(ids, (B, C)).astype(np.int32).copy()
+    ids[0, -3:] = -1
+    base_rs = PG.prepare_rerank_base(jnp.asarray(base))
+    d1, i1 = PG.rerank_topk_rs(jnp.asarray(qs), base_rs, jnp.asarray(ids), k, "l2sqr", interpret=True)
+    d2, i2 = PG.rerank_topk_blocked(
+        jnp.asarray(qs), base_rs, jnp.asarray(ids), k, "l2sqr", block=64, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
