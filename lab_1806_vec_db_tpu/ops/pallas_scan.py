@@ -132,6 +132,134 @@ def scan_chunkmin(
     return outd, outi
 
 
+def _dist_kernel_int8(
+    nvalid_ref,  # SMEM (1, 1) int32
+    q_ref,  # VMEM (B, dim) int8 — resident across all grid steps
+    qs_ref,  # VMEM (B, 1) f32 query dequant scales
+    qc_ref,  # VMEM (B, 1) f32 query dist-cache
+    scale_ref,  # VMEM (1, NB) f32 base dequant scales tile
+    cache_ref,  # VMEM (1, NB) f32 base dist-cache tile
+    base_ref,  # VMEM (NB, dim) int8 base tile
+    out_ref,  # VMEM (B, NB) bf16 distance tile
+    *,
+    dist: str,
+):
+    i = pl.program_id(0)
+    B = q_ref.shape[0]
+    NB = base_ref.shape[0]
+    dots = jax.lax.dot_general(
+        q_ref[:],
+        base_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # drop to bf16 immediately: the int32/f32 (B, NB) intermediates are the
+    # kernel's VMEM high-water mark
+    dots_f = dots.astype(jnp.bfloat16) * (qs_ref[:] * scale_ref[:]).astype(jnp.bfloat16)
+    if dist == "l2sqr":
+        d = (qc_ref[:] + cache_ref[:]).astype(jnp.bfloat16) - 2.0 * dots_f
+    else:
+        denom = jnp.maximum(qc_ref[:] * cache_ref[:], 1e-10)
+        d = 1.0 - dots_f / denom.astype(jnp.bfloat16)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, NB), 1) + i * NB
+    out_ref[:] = jnp.where(col < nvalid_ref[0, 0], d, jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("dist", "interpret"))
+def scan_dist_int8(
+    q8: jax.Array,  # (B, dim) int8
+    q_scale: jax.Array,  # (B,) f32
+    q_cache: jax.Array,  # (B,) f32
+    base_i8: jax.Array,  # (N_pad, dim) int8
+    base_scale: jax.Array,  # (N_pad,) f32
+    base_cache: jax.Array,  # (N_pad,) f32
+    n_valid: jax.Array,
+    dist: str,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused int8 distance scan with queries RESIDENT in VMEM.
+
+    XLA's (B, dim) x (dim, N) GEMM re-streams the base once per 128-query
+    row tile; this kernel pins the whole (quantized) query block in VMEM and
+    streams each base tile exactly once, writing the selection-grade bf16
+    distance tile.  Rows >= n_valid come back +inf.  Top-k runs outside
+    (`lax.approx_min_k` fuses with the bf16 read).
+    """
+    B, dim = q8.shape
+    n_pad0 = base_i8.shape[0]
+    n_pad = ((n_pad0 + _NB - 1) // _NB) * _NB
+    if n_pad != n_pad0:
+        base_i8 = jnp.pad(base_i8, ((0, n_pad - n_pad0), (0, 0)))
+        base_scale = jnp.pad(base_scale, (0, n_pad - n_pad0))
+        base_cache = jnp.pad(base_cache, (0, n_pad - n_pad0))
+    kernel = functools.partial(_dist_kernel_int8, dist=dist)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // _NB,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NB, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, _NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad), jnp.bfloat16),
+        interpret=interpret,
+    )(
+        jnp.reshape(n_valid.astype(jnp.int32), (1, 1)),
+        q8,
+        q_scale.astype(jnp.float32)[:, None],
+        q_cache.astype(jnp.float32)[:, None],
+        base_scale.astype(jnp.float32)[None, :],
+        base_cache.astype(jnp.float32)[None, :],
+        base_i8,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("r", "dist", "recall_target", "interpret"))
+def scan_candidates_int8_pallas(
+    queries: jax.Array,  # (B, dim) f32
+    base_i8: jax.Array,  # (N_pad, dim) int8
+    base_scale: jax.Array,  # (N_pad,) f32
+    base_cache: jax.Array,  # (N_pad,) f32
+    n_valid: jax.Array,
+    r: int,
+    dist: str,
+    recall_target: float = 0.99,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Stage-1 candidate selection via the q-resident int8 scan kernel.
+
+    Same contract as ops.topk.scan_candidates_int8.
+    """
+    from . import distance as D
+    from .topk import INVALID_ID, quantize_rows_int8, topk_smallest
+
+    q = queries.astype(jnp.float32)
+    q_cache = D.dist_cache(q, dist)
+    q8, q_scale = quantize_rows_int8(q)
+    d = scan_dist_int8(
+        q8, q_scale, q_cache, base_i8, base_scale, base_cache,
+        jnp.int32(n_valid), dist, interpret=interpret,
+    )
+    B, n_pad = d.shape
+    ids = jax.lax.broadcasted_iota(jnp.int32, (B, n_pad), 1)
+    rr = min(r, n_pad)
+    if n_pad > 4 * rr and not interpret:
+        bd, pos = jax.lax.approx_min_k(d, rr, recall_target=recall_target)
+        bd = bd.astype(jnp.float32)
+        bi = jnp.take_along_axis(ids, pos, axis=1)
+    else:
+        bd, bi = topk_smallest(d.astype(jnp.float32), ids, rr)
+    if rr < r:
+        bd = jnp.pad(bd, ((0, 0), (0, r - rr)), constant_values=jnp.inf)
+        bi = jnp.pad(bi, ((0, 0), (0, r - rr)), constant_values=-1)
+    return bd, jnp.where(jnp.isfinite(bd), bi, INVALID_ID)
+
+
 @functools.partial(jax.jit, static_argnames=("r", "dist", "interpret"))
 def scan_candidates_pallas(
     queries: jax.Array,  # (B, dim) f32

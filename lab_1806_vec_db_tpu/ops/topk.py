@@ -241,14 +241,19 @@ def scan_candidates_int8(
     dots = jax.lax.dot_general(
         q8, base_i8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )  # (B, N) int32
-    dots_f = dots.astype(jnp.float32) * (q_scale[:, None] * base_scale[None, :])
+    # keep every (B, N) intermediate bf16: the epilogue fuses into the
+    # top-k read, and f32 here doubles the HBM round trip for selection-grade
+    # values (the exact rerank fixes final distances anyway)
+    dots_f = dots.astype(jnp.bfloat16) * (
+        q_scale[:, None] * base_scale[None, :]
+    ).astype(jnp.bfloat16)
     if dist == "l2sqr":
-        d = q_cache[:, None] + base_cache[None, :] - 2.0 * dots_f
+        d = (q_cache[:, None] + base_cache[None, :]).astype(jnp.bfloat16) - 2.0 * dots_f
     else:
         denom = jnp.maximum(q_cache[:, None] * base_cache[None, :], 1e-10)
-        d = 1.0 - dots_f / denom
+        d = 1.0 - dots_f / denom.astype(jnp.bfloat16)
     ids = jax.lax.broadcasted_iota(jnp.int32, (B, n_pad), 1)
-    d = jnp.where(ids < n_valid, d.astype(jnp.bfloat16), jnp.inf)
+    d = jnp.where(ids < n_valid, d, jnp.inf)
 
     rr = min(r, n_pad)
     if n_pad > 4 * rr:

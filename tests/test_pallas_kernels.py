@@ -101,3 +101,28 @@ def test_rerank_topk_blocked_matches_unblocked():
     )
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_scan_dist_int8_matches_xla(dist):
+    """The q-resident int8 Pallas scan must produce the same selection-grade
+    distances as the XLA int8 path (ids may differ on bf16 ties)."""
+    from lab_1806_vec_db_tpu.ops import topk as T
+
+    N, dim, B, r = 3000, 48, 8, 16
+    base, qs = _make(dist, N, dim, B)
+    base_d = jnp.asarray(base)
+    cache = D.dist_cache(base_d, dist)
+    q8, sc = T.quantize_rows_int8(base_d)
+    bd1, bi1 = T.scan_candidates_int8(
+        jnp.asarray(qs), q8, sc, cache, jnp.int32(N), r, dist
+    )
+    bd2, bi2 = PS.scan_candidates_int8_pallas(
+        jnp.asarray(qs), q8, sc, cache, jnp.int32(N), r, dist, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(bd1), np.asarray(bd2), rtol=2e-2, atol=1e-3)
+    # ids agree wherever the bf16 distances are not tied with a neighbor
+    bd1n, bi1n, bi2n = np.asarray(bd1), np.asarray(bi1), np.asarray(bi2)
+    interior = (bd1n != np.roll(bd1n, 1, axis=1)) & (bd1n != np.roll(bd1n, -1, axis=1))
+    interior[:, [0, -1]] = False
+    assert (bi1n == bi2n)[interior].all()
