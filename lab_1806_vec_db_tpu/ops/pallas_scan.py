@@ -219,6 +219,352 @@ def scan_dist_int8(
     )
 
 
+_NB_T = 2048  # base rows per grid step (transposed kernel; VMEM-bounded)
+_CB_T = 512  # rows per inner MXU chunk: bounds the (CB, B) int32 dots tile
+
+
+def _scan_kernel_int8_t(
+    nvalid_ref,  # SMEM (1, 1) int32
+    qT_ref,  # VMEM (dim, B) int8 — resident across all grid steps
+    qs_ref,  # VMEM (1, B) f32 query dequant scales
+    qc_ref,  # VMEM (1, B) f32 query dist-cache
+    scale_ref,  # VMEM (NB, 1) f32 base dequant scales tile
+    cache_ref,  # VMEM (NB, 1) f32 base dist-cache tile
+    base_ref,  # VMEM (NB, dim) int8 base tile
+    outd_ref,  # VMEM (NB/CHUNK, B) f32 survivor mins
+    outi_ref,  # VMEM (NB/CHUNK, B) int32 survivor global ids
+    *,
+    dist: str,
+):
+    """Transposed distance tile: base rows on SUBLANES, queries on lanes.
+
+    The chunk-min then reduces over the sublane axis — far cheaper on the
+    VPU than the cross-lane shuffle chain the (B, NB) orientation needs.
+    """
+    i = pl.program_id(0)
+    NB = base_ref.shape[0]
+    B = qT_ref.shape[1]
+    qs = qs_ref[:]  # (1, B)
+    qc = qc_ref[:]
+
+    for c in range(NB // _CB_T):
+        bchunk = base_ref[c * _CB_T : (c + 1) * _CB_T, :]  # (CB, dim) int8
+        scale_c = scale_ref[c * _CB_T : (c + 1) * _CB_T, :]  # (CB, 1)
+        cache_c = cache_ref[c * _CB_T : (c + 1) * _CB_T, :]
+        dots = jax.lax.dot_general(
+            bchunk,
+            qT_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (CB, B) int32 on the MXU
+        dots_f = dots.astype(jnp.bfloat16) * (scale_c * qs).astype(jnp.bfloat16)
+        if dist == "l2sqr":
+            d = (cache_c + qc).astype(jnp.bfloat16) - 2.0 * dots_f
+        else:  # cosine: cache rows hold |x|, qc holds |q|
+            denom = jnp.maximum(cache_c * qc, 1e-10)
+            d = 1.0 - dots_f / denom.astype(jnp.bfloat16)
+        row0 = i * NB + c * _CB_T
+        row = jax.lax.broadcasted_iota(jnp.int32, (_CB_T, B), 0) + row0
+        d = jnp.where(row < nvalid_ref[0, 0], d, jnp.inf).astype(jnp.float32)
+
+        mins, args = [], []
+        for s in range(_CB_T // _CHUNK):
+            seg = d[s * _CHUNK : (s + 1) * _CHUNK, :]  # (128, B)
+            m = jnp.min(seg, axis=0)  # sublane reduce -> (B,)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, B), 0)
+            a = jnp.min(jnp.where(seg == m[None, :], sub, _CHUNK), axis=0)
+            mins.append(m)
+            args.append(row0 + s * _CHUNK + a)
+        o0 = c * (_CB_T // _CHUNK)
+        outd_ref[o0 : o0 + _CB_T // _CHUNK, :] = jnp.stack(mins, axis=0)
+        outi_ref[o0 : o0 + _CB_T // _CHUNK, :] = jnp.stack(args, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("dist", "interpret"))
+def scan_chunkmin_int8_t(
+    q8: jax.Array,  # (B, dim) int8
+    q_scale: jax.Array,  # (B,) f32
+    q_cache: jax.Array,  # (B,) f32
+    base_i8: jax.Array,  # (N_pad, dim) int8
+    base_scale: jax.Array,  # (N_pad,) f32
+    base_cache: jax.Array,  # (N_pad,) f32
+    n_valid: jax.Array,
+    dist: str,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused int8 scan + chunk-min, queries resident, base streamed ONCE.
+
+    Returns ((N_pad/128, B) f32 survivor dists, (N_pad/128, B) int32 global
+    ids): the min / argmin over each 128 consecutive base rows, computed in
+    the (base, query) orientation so the reduction runs over sublanes.
+    """
+    B, dim = q8.shape
+    n_pad0 = base_i8.shape[0]
+    n_pad = ((n_pad0 + _NB_T - 1) // _NB_T) * _NB_T
+    if n_pad != n_pad0:
+        base_i8 = jnp.pad(base_i8, ((0, n_pad - n_pad0), (0, 0)))
+        base_scale = jnp.pad(base_scale, (0, n_pad - n_pad0))
+        base_cache = jnp.pad(base_cache, (0, n_pad - n_pad0))
+    G = n_pad // _NB_T
+    SB = _NB_T // _CHUNK
+
+    kernel = functools.partial(_scan_kernel_int8_t, dist=dist)
+    outd, outi = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((dim, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NB_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NB_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NB_T, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((SB, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G * SB, B), jnp.float32),
+            jax.ShapeDtypeStruct((G * SB, B), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.reshape(n_valid.astype(jnp.int32), (1, 1)),
+        q8.T,
+        q_scale.astype(jnp.float32)[None, :],
+        q_cache.astype(jnp.float32)[None, :],
+        base_scale.astype(jnp.float32)[:, None],
+        base_cache.astype(jnp.float32)[:, None],
+        base_i8,
+    )
+    return outd, outi
+
+
+_BIG = 3.0e38  # finite sentinel: keeps packed bits non-NaN (plain float: jnp consts cannot be captured by kernels)
+
+
+def _scan_kernel_int8_packed(
+    nvalid_ref,  # SMEM (1, 1) int32
+    qT_ref,  # VMEM (dim, B) int8 — resident across all grid steps
+    qs2_ref,  # VMEM (1, B) f32: 2 * query dequant scale (l2sqr) / scale (cos)
+    qc_ref,  # VMEM (1, B) f32 query dist-cache
+    scale_ref,  # VMEM (NB, 1) f32 base dequant scales tile
+    cache_ref,  # VMEM (NB, 1) f32 base dist-cache tile
+    base_ref,  # VMEM (NB, dim) int8 base tile
+    out_ref,  # VMEM (NB/CHUNK, B) int32: packed (f32 dist bits | sublane idx)
+    *,
+    dist: str,
+):
+    """Packed chunk-min: one sortable int32 per (128-row chunk, query).
+
+    The f32 distance's low 7 mantissa bits are replaced by the row-in-chunk
+    index, so a SINGLE sublane min-reduce yields both the (16-mantissa-bit)
+    min distance and its argmin — no separate compare/select argmin chain.
+    Positive-f32 bit patterns sort identically as int32, so the packed value
+    is ordered by distance; callers may even bitcast the packed array to f32
+    and run `approx_min_k` on it directly.  Validity masking is gated on the
+    grid boundary so interior steps pay zero masking cost.
+    """
+    i = pl.program_id(0)
+    NB = base_ref.shape[0]
+    B = qT_ref.shape[1]
+    nvalid = nvalid_ref[0, 0]
+    qs2 = qs2_ref[:]  # (1, B)
+    qc = qc_ref[:]
+
+    for c in range(NB // _CB_T):
+        row0 = i * NB + c * _CB_T
+        scale_c = scale_ref[c * _CB_T : (c + 1) * _CB_T, :]  # (CB, 1)
+        cache_c = cache_ref[c * _CB_T : (c + 1) * _CB_T, :]
+        dots = jax.lax.dot_general(
+            base_ref[c * _CB_T : (c + 1) * _CB_T, :],
+            qT_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (CB, B) int32 on the MXU
+        dots_f = dots.astype(jnp.float32)
+        if dist == "l2sqr":
+            # d = (|x|^2 + |q|^2) - dots * (2 s_x s_q)
+            d = (cache_c + qc) - dots_f * (scale_c * qs2)
+        else:  # cosine: cache rows hold |x|, qc holds |q|
+            denom = jnp.maximum(cache_c * qc, 1e-10)
+            d = 1.0 - (dots_f * (scale_c * qs2)) / denom
+
+        # boundary-only validity masking: interior grid steps skip the
+        # iota/compare/select entirely
+        def _mask(x):
+            row = jax.lax.broadcasted_iota(jnp.int32, (_CB_T, B), 0) + row0
+            return jnp.where(row < nvalid, x, jnp.float32(_BIG))
+
+        d = jax.lax.cond(row0 + _CB_T > nvalid, _mask, lambda x: x, d)
+
+        # pack: clamp to [0, BIG], drop 7 mantissa bits, insert row-in-chunk
+        bits = pltpu.bitcast(jnp.minimum(jnp.maximum(d, 0.0), jnp.float32(_BIG)), jnp.int32)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_CB_T, B), 0) & (_CHUNK - 1)
+        packed = (bits & jnp.int32(~(_CHUNK - 1))) | sub
+
+        mins = []
+        for s in range(_CB_T // _CHUNK):
+            seg = packed[s * _CHUNK : (s + 1) * _CHUNK, :]  # (128, B)
+            mins.append(jnp.min(seg, axis=0))  # single sublane reduce
+        o0 = c * (_CB_T // _CHUNK)
+        out_ref[o0 : o0 + _CB_T // _CHUNK, :] = jnp.stack(mins, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("dist", "interpret"))
+def scan_chunkmin_int8_packed(
+    q8: jax.Array,  # (B, dim) int8
+    q_scale: jax.Array,  # (B,) f32
+    q_cache: jax.Array,  # (B,) f32
+    base_i8: jax.Array,  # (N_pad, dim) int8
+    base_scale: jax.Array,  # (N_pad,) f32
+    base_cache: jax.Array,  # (N_pad,) f32
+    n_valid: jax.Array,
+    dist: str,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed-survivor int8 scan.  Returns (N_pad/128, B) int32 where each
+    value packs (f32 distance bits & ~127) | row-in-chunk.  Decode:
+    id = chunk*128 + (v & 127); dist = bitcast(v & ~127) (16-mantissa-bit)."""
+    B, dim = q8.shape
+    n_pad0 = base_i8.shape[0]
+    n_pad = ((n_pad0 + _NB_T - 1) // _NB_T) * _NB_T
+    if n_pad != n_pad0:
+        base_i8 = jnp.pad(base_i8, ((0, n_pad - n_pad0), (0, 0)))
+        base_scale = jnp.pad(base_scale, (0, n_pad - n_pad0))
+        base_cache = jnp.pad(base_cache, (0, n_pad - n_pad0))
+    G = n_pad // _NB_T
+    SB = _NB_T // _CHUNK
+
+    qs2 = q_scale.astype(jnp.float32) * (2.0 if dist == "l2sqr" else 1.0)
+    kernel = functools.partial(_scan_kernel_int8_packed, dist=dist)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((dim, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NB_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NB_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NB_T, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SB, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G * SB, B), jnp.int32),
+        interpret=interpret,
+    )(
+        jnp.reshape(n_valid.astype(jnp.int32), (1, 1)),
+        q8.T,
+        qs2[None, :],
+        q_cache.astype(jnp.float32)[None, :],
+        base_scale.astype(jnp.float32)[:, None],
+        base_cache.astype(jnp.float32)[:, None],
+        base_i8,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("r", "dist", "interpret"))
+def scan_candidates_int8_packed(
+    queries: jax.Array,  # (B, dim) f32
+    base_i8: jax.Array,  # (N_pad, dim) int8
+    base_scale: jax.Array,  # (N_pad,) f32
+    base_cache: jax.Array,  # (N_pad,) f32
+    n_valid: jax.Array,
+    r: int,
+    dist: str,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Stage-1 candidate selection via the packed chunk-min kernel.
+
+    Same contract as ops.topk.scan_candidates_int8.  The top-r runs
+    directly on the packed values bitcast to f32 (order-preserving for
+    non-negative distances), then ids are decoded from the low 7 bits.
+    """
+    from . import distance as D
+    from .topk import INVALID_ID, quantize_rows_int8, topk_smallest
+
+    q = queries.astype(jnp.float32)
+    B = q.shape[0]
+    B_pad = max(128, ((B + 127) // 128) * 128)
+    if B_pad != B:
+        q = jnp.pad(q, ((0, B_pad - B), (0, 0)))
+    q_cache = D.dist_cache(q, dist)
+    q8, q_scale = quantize_rows_int8(q)
+    packed = scan_chunkmin_int8_packed(
+        q8, q_scale, q_cache, base_i8, base_scale, base_cache,
+        jnp.int32(n_valid), dist, interpret=interpret,
+    ).T  # (B_pad, S)
+    S = packed.shape[1]
+    as_f32 = jax.lax.bitcast_convert_type(packed, jnp.float32)
+    chunk0 = jax.lax.broadcasted_iota(jnp.int32, packed.shape, 1) * _CHUNK
+
+    rr = min(r, S)
+    if S > 4 * rr and not interpret:
+        _, pos = jax.lax.approx_min_k(as_f32, rr, recall_target=1.0)
+    else:
+        _, pos = jax.lax.top_k(-as_f32, rr)
+    pk = jnp.take_along_axis(packed, pos, axis=1)
+    c0 = jnp.take_along_axis(chunk0, pos, axis=1)
+
+    bd = jax.lax.bitcast_convert_type(pk & jnp.int32(~(_CHUNK - 1)), jnp.float32)
+    bi = c0 + (pk & (_CHUNK - 1))
+    bd, bi = bd[:B], bi[:B]
+    if rr < r:
+        bd = jnp.pad(bd, ((0, 0), (0, r - rr)), constant_values=jnp.inf)
+        bi = jnp.pad(bi, ((0, 0), (0, r - rr)), constant_values=-1)
+    bad = bd >= jnp.float32(1.0e38)
+    return jnp.where(bad, jnp.inf, bd), jnp.where(bad, INVALID_ID, bi)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "dist", "interpret"))
+def scan_candidates_int8_chunkmin(
+    queries: jax.Array,  # (B, dim) f32
+    base_i8: jax.Array,  # (N_pad, dim) int8
+    base_scale: jax.Array,  # (N_pad,) f32
+    base_cache: jax.Array,  # (N_pad,) f32
+    n_valid: jax.Array,
+    r: int,
+    dist: str,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Stage-1 candidate selection via the transposed q-resident int8 kernel.
+
+    Same contract as ops.topk.scan_candidates_int8.  At most one candidate
+    survives per 128 consecutive base rows before the top-r.
+    """
+    from . import distance as D
+    from .topk import INVALID_ID, quantize_rows_int8, topk_smallest
+
+    q = queries.astype(jnp.float32)
+    B = q.shape[0]
+    B_pad = max(128, ((B + 127) // 128) * 128)
+    if B_pad != B:
+        q = jnp.pad(q, ((0, B_pad - B), (0, 0)))
+    q_cache = D.dist_cache(q, dist)
+    q8, q_scale = quantize_rows_int8(q)
+    outd, outi = scan_chunkmin_int8_t(
+        q8, q_scale, q_cache, base_i8, base_scale, base_cache,
+        jnp.int32(n_valid), dist, interpret=interpret,
+    )
+    outd = outd.T  # (B_pad, S)
+    outi = outi.T
+    S = outd.shape[1]
+    rr = min(r, S)
+    if S > 4 * rr and not interpret:
+        bd, pos = jax.lax.approx_min_k(outd, rr, recall_target=1.0)
+        bi = jnp.take_along_axis(outi, pos, axis=1)
+    else:
+        bd, bi = topk_smallest(outd, outi, rr)
+    bd, bi = bd[:B], bi[:B]
+    if rr < r:
+        bd = jnp.pad(bd, ((0, 0), (0, r - rr)), constant_values=jnp.inf)
+        bi = jnp.pad(bi, ((0, 0), (0, r - rr)), constant_values=-1)
+    return bd, jnp.where(jnp.isfinite(bd), bi, INVALID_ID)
+
+
 @functools.partial(jax.jit, static_argnames=("r", "dist", "recall_target", "interpret"))
 def scan_candidates_int8_pallas(
     queries: jax.Array,  # (B, dim) f32

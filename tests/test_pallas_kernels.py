@@ -126,3 +126,71 @@ def test_scan_dist_int8_matches_xla(dist):
     interior = (bd1n != np.roll(bd1n, 1, axis=1)) & (bd1n != np.roll(bd1n, -1, axis=1))
     interior[:, [0, -1]] = False
     assert (bi1n == bi2n)[interior].all()
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_scan_packed_matches_oracle(dist):
+    """The packed (dist-bits | row-in-chunk) kernel vs a numpy oracle of the
+    identical f32 arithmetic on the dequantized int8 values: same survivors
+    (modulo near-tie swaps at the rank-r boundary) and distances equal to the
+    pack's 16-mantissa-bit truncation."""
+    N, dim, B, r = 4200, 32, 8, 12
+    base, qs = _make(dist, N, dim, B)
+    from lab_1806_vec_db_tpu.ops import topk as T
+
+    base_i8, scales = T.quantize_rows_int8(jnp.asarray(base))
+    cache = D.dist_cache(jnp.asarray(base), dist)
+    q8, q_scale = T.quantize_rows_int8(jnp.asarray(qs))
+    qc = D.dist_cache(jnp.asarray(qs), dist)
+    bd, bi = PS.scan_candidates_int8_packed(
+        jnp.asarray(qs), base_i8, scales, cache, jnp.int32(N), r, dist,
+        interpret=True,
+    )
+    bd, bi = np.asarray(bd), np.asarray(bi)
+
+    dots = np.asarray(q8, np.float32) @ np.asarray(base_i8, np.float32).T
+    dots *= np.asarray(q_scale)[:, None] * np.asarray(scales)[None, :]
+    if dist == "l2sqr":
+        dm = np.asarray(qc)[:, None] + np.asarray(cache)[None, :] - 2.0 * dots
+    else:
+        dm = 1.0 - dots / np.maximum(np.asarray(qc)[:, None] * np.asarray(cache)[None, :], 1e-10)
+    dm = np.maximum(dm, 0.0)
+    # oracle chunk-min survivors then top-r
+    n_pad = ((N + 2047) // 2048) * 2048
+    dmp = np.full((B, n_pad), np.float32(3e38), np.float32)
+    dmp[:, :N] = dm
+    ch = dmp.reshape(B, n_pad // 128, 128)
+    cmin = ch.min(2)
+    cargmin = ch.argmin(2) + np.arange(n_pad // 128)[None] * 128
+    order = np.argsort(cmin, axis=1, kind="stable")[:, :r]
+    oi = np.take_along_axis(cargmin, order, axis=1)
+    od = np.take_along_axis(cmin, order, axis=1)
+
+    overlap = np.mean([len(set(bi[i]) & set(oi[i])) / r for i in range(B)])
+    assert overlap >= (r - 1) / r
+    assert (bi[:, :3] == oi[:, :3]).all()
+    # distances: packed truncation drops <= 127 ulp -> rel err <= ~2^-16
+    match = bi == oi
+    rel = np.abs(bd - od)[match] / np.maximum(od[match], 1e-3)
+    assert rel.max() < 3e-5
+    assert (bd >= 0).all()
+
+
+@pytest.mark.parametrize("n_valid", [4200, 4096, 100])
+def test_scan_packed_validity_boundary(n_valid):
+    """Rows >= n_valid must never be selected (boundary-gated masking)."""
+    N, dim, B, r = 4200, 32, 4, 12
+    base, qs = _make("l2sqr", N, dim, B, seed=3)
+    # make the tail rows the closest to every query: if masking fails they win
+    base[n_valid:] = qs[0] if n_valid < N else base[n_valid:]
+    from lab_1806_vec_db_tpu.ops import topk as T
+
+    base_i8, scales = T.quantize_rows_int8(jnp.asarray(base))
+    cache = D.dist_cache(jnp.asarray(base), "l2sqr")
+    bd, bi = PS.scan_candidates_int8_packed(
+        jnp.asarray(qs), base_i8, scales, cache, jnp.int32(n_valid), r, "l2sqr",
+        interpret=True,
+    )
+    bi = np.asarray(bi)
+    valid = bi[bi >= 0]
+    assert (valid < n_valid).all()
