@@ -88,17 +88,29 @@ def bench_scan(n: int, k: int, n_queries: int) -> dict:
     flat.knn_batch(queries, k)
     single_ms = (time.perf_counter() - t0) * 1000
 
-    # pipelined throughput: many batches in flight, fetch only the last;
-    # queries pre-uploaded once (the serving model keeps a device-side queue)
+    # pipelined throughput: many batches in flight, one final sync.  Batches
+    # are chained through a scalar data dependency so every dispatch MUST
+    # execute before the final fetch — robust against lazy/async dispatch
+    # semantics in the device transport (an unchained loop that fetches only
+    # the last output can under-count if unused results are elided).
     import jax.numpy as jnp
 
     q_dev = jnp.asarray(queries)
-    reps = 20
-    t0 = time.perf_counter()
-    outs = [flat._knn_device(q_dev, k) for _ in range(reps)]
-    np.asarray(outs[-1][1])
-    elapsed = time.perf_counter() - t0
+    reps, rounds = 8, 5
+    round_s = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        s = jnp.float32(0.0)
+        for _ in range(reps):
+            d_out, _ = flat._knn_device(q_dev + s * 1e-30, k)
+            s = s + d_out[0, 0] * 1e-30
+        np.asarray(s)
+        round_s.append(time.perf_counter() - t0)
+    # best round: the TPU chip behind the tunnel is shared, so contention
+    # inflates individual rounds; the minimum is the honest device cost
+    elapsed = min(round_s)
     qps = reps * n_queries / elapsed
+    log(f"rounds ms/batch: {[f'{r/reps*1000:.1f}' for r in round_s]}")
     log(
         f"QPS={qps:.0f} recall@{k}={recall:.4f} "
         f"ms/query={1000 * n_queries / qps / n_queries:.4f} single-batch={single_ms:.1f}ms"
@@ -116,7 +128,7 @@ def bench_scan(n: int, k: int, n_queries: int) -> dict:
         "single_batch_ms": round(single_ms, 1),
         "ground_truth_seconds": round(gt_s, 1),
         "baseline": "Gist1M HNSW ef=120 multi-threaded CPU, 6514 QPS @ recall 0.8504 (data/t_bench.toml)",
-        "note": "bf16 MXU scan + approx_min_k + exact f32 rerank; synthetic clustered dim-960 dataset (no egress for Gist1M); recall vs exact f32 on-device GT",
+        "note": "packed int8 Pallas chunk-min scan + approx_min_k + exact f32 Pallas DMA rerank; synthetic clustered dim-960 dataset (no egress for Gist1M); recall vs exact f32 on-device GT; QPS = best of 5 chained rounds (shared chip)",
     }
 
 

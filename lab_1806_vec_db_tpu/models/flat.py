@@ -98,9 +98,19 @@ class FlatIndex:
         r = min(max(_RERANK_MULT * k, 64), n)
         if _SCAN_MODE == "int8":
             base_i8, scales, cache = self.store.device_int8()
-            _, cand = T.scan_candidates_int8(
-                q, base_i8, scales, cache, jnp.int32(n), r, self.dist
-            )
+            if jax.default_backend() != "cpu":
+                # packed Pallas chunk-min: argmin folded into the distance
+                # bits, one sublane reduce per 128-row chunk (~25% faster
+                # than the XLA int8 scan at N>=4e5, measured chained)
+                from ..ops import pallas_scan as PS
+
+                _, cand = PS.scan_candidates_int8_packed(
+                    q, base_i8, scales, cache, jnp.int32(n), r, self.dist
+                )
+            else:
+                _, cand = T.scan_candidates_int8(
+                    q, base_i8, scales, cache, jnp.int32(n), r, self.dist
+                )
         else:
             scan_vecs, _ = self.store.device_traversal()
             _, cand = T.scan_candidates(q, scan_vecs, cache, jnp.int32(n), r, self.dist)

@@ -175,6 +175,10 @@ class VecStore:
             self._dev_int8 = None
             self._dev_full_dirty = False
             self._dirty_rows.clear()
+            # barrier: let upload staging free before derived copies build —
+            # async overlap of the transients can transiently exceed HBM at
+            # N=1e6 x 960 (f32 mirror + slab + int8 all in flight)
+            jax.block_until_ready(self._dev_cache)
         elif self._dirty_rows:
             rows = np.fromiter(self._dirty_rows, dtype=np.int32)
             vals = self._data[rows].astype(np.float32)
@@ -227,6 +231,7 @@ class VecStore:
         vecs, cache = self.device()
         if self._dev_bf16 is None:
             self._dev_bf16 = vecs.astype(jnp.bfloat16)
+            jax.block_until_ready(self._dev_bf16)
         return self._dev_bf16, cache
 
     def device_rerank(self) -> jax.Array:
@@ -234,9 +239,17 @@ class VecStore:
         rerank kernel (ops/pallas_gather.py), synced and cached."""
         from ..ops import pallas_gather as PG
 
-        vecs, _ = self.device()  # syncs dirty rows into _dev_rerank too
+        self.device()  # syncs dirty rows into _dev_rerank too
         if self._dev_rerank is None:
-            self._dev_rerank = PG.prepare_rerank_base(vecs)
+            # build the slab layout on the HOST and upload it directly: a
+            # device-side pad+reshape of the f32 mirror materializes ~2x the
+            # mirror in transients, which pushes peak HBM past the limit at
+            # N=1e6 x dim=960 when every mirror is live
+            dim_pad = PG.rerank_dim_pad(self.dim)
+            host = np.zeros((self._cap, dim_pad), dtype=np.float32)
+            host[: self._n, : self.dim] = self._data[: self._n].astype(np.float32)
+            self._dev_rerank = jnp.asarray(host.reshape(self._cap * (dim_pad // 128), 128))
+            jax.block_until_ready(self._dev_rerank)
         return self._dev_rerank
 
     def device_int8(self) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -251,6 +264,7 @@ class VecStore:
         vecs, cache = self.device()
         if self._dev_int8 is None:
             self._dev_int8 = T.quantize_rows_int8(vecs)
+            jax.block_until_ready(self._dev_int8)
         return self._dev_int8[0], self._dev_int8[1], cache
 
     # ---- conversions (vec_set.rs:142-163 parity) ----
