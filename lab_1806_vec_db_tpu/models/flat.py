@@ -27,7 +27,10 @@ from ..utils.candidates import CandidatePair, pairs_from_arrays
 #   "exact" — single-pass full-f32 scan everywhere (ground-truth mode).
 _SCAN_MODE = os.environ.get("VECDB_TPU_SCAN", "int8")
 _EXACT_BELOW = 8192  # small sets: exact scan is cheap and compile-stable
-_RERANK_MULT = 8
+_RERANK_MULT = 4  # stage-1 candidates per requested neighbor (floor 32):
+# measured at N=1e6 dim=960 clustered, r=32..80 all hold recall@10=0.9993 —
+# the packed scan's candidate ordering is good enough that extra rerank
+# depth only adds DMA traffic
 
 
 class FlatIndex:
@@ -95,7 +98,7 @@ class FlatIndex:
         vecs, cache = self.store.device()
         if exact:
             return T.knn_scan(q, vecs, cache, jnp.int32(n), k, self.dist)
-        r = min(max(_RERANK_MULT * k, 64), n)
+        r = min(max(_RERANK_MULT * k, 32), n)
         if _SCAN_MODE == "int8":
             base_i8, scales, cache = self.store.device_int8()
             if jax.default_backend() != "cpu":

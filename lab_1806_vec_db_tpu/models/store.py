@@ -50,8 +50,11 @@ def _sync_rows_jit(dev, cache, bf16, slab, int8pair, rows, vals, dist, flags, sr
     if has_int8:
         from ..ops import topk as T
 
-        q8v, scv = T.quantize_rows_int8(vals)
         q8, sc = int8pair
+        v8 = vals
+        if q8.shape[1] != v8.shape[1]:
+            v8 = jnp.pad(v8, ((0, 0), (0, q8.shape[1] - v8.shape[1])))
+        q8v, scv = T.quantize_rows_int8(v8)
         int8pair = (q8.at[rows].set(q8v), sc.at[rows].set(scv))
     return dev, cache, bf16, slab, int8pair
 
@@ -263,7 +266,25 @@ class VecStore:
 
         vecs, cache = self.device()
         if self._dev_int8 is None:
-            self._dev_int8 = T.quantize_rows_int8(vecs)
+            # full-lane columns: the int8 MXU runs ~1.45x faster on
+            # 128-multiple dims (e.g. 960 -> 1024 measured 137 -> 208 TOPS);
+            # zero columns are dot-transparent and leave per-row scales
+            # unchanged.  Quantize on the HOST: a device-side pad+quantize
+            # materializes ~3x the f32 mirror in transients and OOMs at
+            # N=1e6 x 960 alongside the other mirrors.
+            dim_pad = ((self.dim + 127) // 128) * 128
+            x = self._data[: self._n].astype(np.float32)
+            amax = np.abs(x).max(axis=1) if self._n else np.zeros((0,), np.float32)
+            scale = np.ones((self._cap,), np.float32)
+            scale[: self._n] = np.where(amax > 0, amax / 127.0, 1.0)
+            q8 = np.zeros((self._cap, dim_pad), np.int8)
+            if self._n:
+                np.clip(
+                    np.round(x / scale[: self._n, None]), -127, 127,
+                    out=x,
+                )
+                q8[: self._n, : self.dim] = x.astype(np.int8)
+            self._dev_int8 = (jnp.asarray(q8), jnp.asarray(scale))
             jax.block_until_ready(self._dev_int8)
         return self._dev_int8[0], self._dev_int8[1], cache
 

@@ -345,6 +345,18 @@ def scan_chunkmin_int8_t(
 _BIG = 3.0e38  # finite sentinel: keeps packed bits non-NaN (plain float: jnp consts cannot be captured by kernels)
 
 
+def _tiles_for(dim: int) -> tuple[int, int]:
+    """(NB, CB) grid/inner tile rows for the packed int8 scan, VMEM-bounded.
+
+    Measured on v5e at N=1e6, B=1024: full-lane dims are worth ~40% (dim
+    960 -> padded 1024: 137 -> 189 TOPS at this tile shape; store.device_int8
+    pads).  Larger NB measures ~10% faster on the bare-matmul floor but the
+    full epilogue at NB=4096 crashes the TPU compiler (any CB), so the shape
+    is pinned to the proven envelope.
+    """
+    return 2048, 512
+
+
 def _scan_kernel_int8_packed(
     nvalid_ref,  # SMEM (1, 1) int32
     qT_ref,  # VMEM (dim, B) int8 — resident across all grid steps
@@ -356,6 +368,7 @@ def _scan_kernel_int8_packed(
     out_ref,  # VMEM (NB/CHUNK, B) int32: packed (f32 dist bits | sublane idx)
     *,
     dist: str,
+    cb: int,
 ):
     """Packed chunk-min: one sortable int32 per (128-row chunk, query).
 
@@ -373,13 +386,14 @@ def _scan_kernel_int8_packed(
     nvalid = nvalid_ref[0, 0]
     qs2 = qs2_ref[:]  # (1, B)
     qc = qc_ref[:]
+    CB = cb
 
-    for c in range(NB // _CB_T):
-        row0 = i * NB + c * _CB_T
-        scale_c = scale_ref[c * _CB_T : (c + 1) * _CB_T, :]  # (CB, 1)
-        cache_c = cache_ref[c * _CB_T : (c + 1) * _CB_T, :]
+    for c in range(NB // CB):
+        row0 = i * NB + c * CB
+        scale_c = scale_ref[c * CB : (c + 1) * CB, :]  # (CB, 1)
+        cache_c = cache_ref[c * CB : (c + 1) * CB, :]
         dots = jax.lax.dot_general(
-            base_ref[c * _CB_T : (c + 1) * _CB_T, :],
+            base_ref[c * CB : (c + 1) * CB, :],
             qT_ref[:],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -395,22 +409,22 @@ def _scan_kernel_int8_packed(
         # boundary-only validity masking: interior grid steps skip the
         # iota/compare/select entirely
         def _mask(x):
-            row = jax.lax.broadcasted_iota(jnp.int32, (_CB_T, B), 0) + row0
+            row = jax.lax.broadcasted_iota(jnp.int32, (CB, B), 0) + row0
             return jnp.where(row < nvalid, x, jnp.float32(_BIG))
 
-        d = jax.lax.cond(row0 + _CB_T > nvalid, _mask, lambda x: x, d)
+        d = jax.lax.cond(row0 + CB > nvalid, _mask, lambda x: x, d)
 
         # pack: clamp to [0, BIG], drop 7 mantissa bits, insert row-in-chunk
         bits = pltpu.bitcast(jnp.minimum(jnp.maximum(d, 0.0), jnp.float32(_BIG)), jnp.int32)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (_CB_T, B), 0) & (_CHUNK - 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (CB, B), 0) & (_CHUNK - 1)
         packed = (bits & jnp.int32(~(_CHUNK - 1))) | sub
 
         mins = []
-        for s in range(_CB_T // _CHUNK):
+        for s in range(CB // _CHUNK):
             seg = packed[s * _CHUNK : (s + 1) * _CHUNK, :]  # (128, B)
             mins.append(jnp.min(seg, axis=0))  # single sublane reduce
-        o0 = c * (_CB_T // _CHUNK)
-        out_ref[o0 : o0 + _CB_T // _CHUNK, :] = jnp.stack(mins, axis=0)
+        o0 = c * (CB // _CHUNK)
+        out_ref[o0 : o0 + CB // _CHUNK, :] = jnp.stack(mins, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("dist", "interpret"))
@@ -429,17 +443,18 @@ def scan_chunkmin_int8_packed(
     value packs (f32 distance bits & ~127) | row-in-chunk.  Decode:
     id = chunk*128 + (v & 127); dist = bitcast(v & ~127) (16-mantissa-bit)."""
     B, dim = q8.shape
+    NB, CB = _tiles_for(dim)
     n_pad0 = base_i8.shape[0]
-    n_pad = ((n_pad0 + _NB_T - 1) // _NB_T) * _NB_T
+    n_pad = ((n_pad0 + NB - 1) // NB) * NB
     if n_pad != n_pad0:
         base_i8 = jnp.pad(base_i8, ((0, n_pad - n_pad0), (0, 0)))
         base_scale = jnp.pad(base_scale, (0, n_pad - n_pad0))
         base_cache = jnp.pad(base_cache, (0, n_pad - n_pad0))
-    G = n_pad // _NB_T
-    SB = _NB_T // _CHUNK
+    G = n_pad // NB
+    SB = NB // _CHUNK
 
     qs2 = q_scale.astype(jnp.float32) * (2.0 if dist == "l2sqr" else 1.0)
-    kernel = functools.partial(_scan_kernel_int8_packed, dist=dist)
+    kernel = functools.partial(_scan_kernel_int8_packed, dist=dist, cb=CB)
     return pl.pallas_call(
         kernel,
         grid=(G,),
@@ -448,9 +463,9 @@ def scan_chunkmin_int8_packed(
             pl.BlockSpec((dim, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_NB_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_NB_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_NB_T, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((SB, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G * SB, B), jnp.int32),
@@ -493,6 +508,10 @@ def scan_candidates_int8_packed(
         q = jnp.pad(q, ((0, B_pad - B), (0, 0)))
     q_cache = D.dist_cache(q, dist)
     q8, q_scale = quantize_rows_int8(q)
+    if base_i8.shape[1] != q8.shape[1]:
+        # base columns are zero-padded to a full-lane multiple (store
+        # device_int8); match the query width — zeros are dot-transparent
+        q8 = jnp.pad(q8, ((0, 0), (0, base_i8.shape[1] - q8.shape[1])))
     packed = scan_chunkmin_int8_packed(
         q8, q_scale, q_cache, base_i8, base_scale, base_cache,
         jnp.int32(n_valid), dist, interpret=interpret,

@@ -237,6 +237,10 @@ def scan_candidates_int8(
     q = queries.astype(jnp.float32)
     q_cache = D.dist_cache(q, dist)
     q8, q_scale = quantize_rows_int8(q)
+    if base_i8.shape[1] != q8.shape[1]:
+        # base columns zero-padded to a full-lane multiple (store
+        # device_int8); zeros are dot-transparent
+        q8 = jnp.pad(q8, ((0, 0), (0, base_i8.shape[1] - q8.shape[1])))
 
     dots = jax.lax.dot_general(
         q8, base_i8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
