@@ -64,7 +64,7 @@ def main(argv=None) -> None:
         index = FlatIndex.from_numpy(base, "l2sqr")
         rows = []
         for s in range(0, len(test), 256):
-            _, ids = index.knn_batch(test[s : s + 256], 10)
+            _, ids = index.knn_batch(test[s : s + 256], 10, exact=True)
             rows.append(ids)
         gt = GroundTruth(np.concatenate(rows))
         gt.save(args.gnd_out or f"{args.prefix}_gnd.local.npz")

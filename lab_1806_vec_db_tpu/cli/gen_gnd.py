@@ -40,7 +40,9 @@ def main(argv=None) -> None:
     rows = []
     B = 256
     for s in range(0, len(test), B):
-        _, ids = index.knn_batch(test[s : s + B], args.k)
+        # exact=True: ground truth must be the exact f32 scan, not the
+        # two-stage selection path (gen_gnd.rs parity: exact FlatIndex kNN)
+        _, ids = index.knn_batch(test[s : s + B], args.k, exact=True)
         rows.append(ids)
     gt = GroundTruth(np.concatenate(rows, axis=0))
     print(f"Saving ground truth to {args.out}...")

@@ -128,3 +128,42 @@ def test_two_stage_int8_matches_exact(dist, gist_1000):
             expect = d_ex[b][i_ex[b] == idx]
             if len(expect):
                 np.testing.assert_allclose(d_2s[b, j], expect[0], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_device_int8_lane_padding(dist):
+    """The int8 mirror is zero-padded to a 128-multiple width; scans over it
+    must agree with scans over an unpadded quantization (zeros are
+    dot-transparent), and incremental row sync must preserve the width."""
+    import jax.numpy as jnp
+    from lab_1806_vec_db_tpu.ops import topk as T
+
+    rng = np.random.default_rng(1)
+    dim = 60  # pads to 128
+    vecs = rng.standard_normal((600, dim)).astype(np.float32)
+    index = FlatIndex.from_numpy(vecs, dist)
+    b8, scales, cache = index.store.device_int8()
+    assert b8.shape[1] == 128
+    # scales identical to an unpadded per-row quantization
+    q8_ref, sc_ref = T.quantize_rows_int8(jnp.asarray(vecs))
+    np.testing.assert_allclose(np.asarray(scales)[:600], np.asarray(sc_ref), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(b8)[:600, :dim], np.asarray(q8_ref))
+    assert (np.asarray(b8)[:600, dim:] == 0).all()
+
+    queries = vecs[:16]
+    bd, bi = T.scan_candidates_int8(
+        jnp.asarray(queries), b8, scales, cache, jnp.int32(600), 10, dist
+    )
+    # self-query: row itself must be among the candidates
+    bi = np.asarray(bi)
+    assert all(i in bi[i] for i in range(16))
+
+    # incremental sync keeps the padded width and scans still work
+    index.store.push(vecs[0] * 2.0)
+    b8b, scalesb, cacheb = index.store.device_int8()
+    assert b8b.shape[1] == 128
+    assert (np.asarray(b8b)[600, dim:] == 0).all()
+    bd2, bi2 = T.scan_candidates_int8(
+        jnp.asarray(vecs[:1] * 2.0), b8b, scalesb, cacheb, jnp.int32(601), 5, dist
+    )
+    assert 600 in np.asarray(bi2)[0]
