@@ -45,12 +45,18 @@ def make_dataset(n: int, dim: int, n_queries: int, seed: int = 0):
     """Deterministic clustered synthetic data (Gist-like scale, dim=960)."""
     rng = np.random.default_rng(seed)
     n_clusters = 256
-    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    centers = rng.standard_normal((n_clusters, dim), dtype=np.float32)
     assign = rng.integers(0, n_clusters, size=n)
-    base = centers[assign] + 0.35 * rng.standard_normal((n, dim)).astype(np.float32)
+    # generate noise directly in f32 and add in-place: at N=1M x 960 the
+    # f64-then-cast route costs ~3x the wall time and 8 GB of extra traffic
+    base = rng.standard_normal((n, dim), dtype=np.float32)
+    base *= 0.35
+    base += centers[assign]
     qa = rng.integers(0, n_clusters, size=n_queries)
-    queries = centers[qa] + 0.35 * rng.standard_normal((n_queries, dim)).astype(np.float32)
-    return base.astype(np.float32), queries.astype(np.float32)
+    queries = rng.standard_normal((n_queries, dim), dtype=np.float32)
+    queries *= 0.35
+    queries += centers[qa]
+    return base, queries
 
 
 def recall_at_k(gt_ids: np.ndarray, ids: np.ndarray, k: int) -> float:
