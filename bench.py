@@ -59,6 +59,51 @@ def make_dataset(n: int, dim: int, n_queries: int, seed: int = 0):
     return base, queries
 
 
+def make_dataset_device(n: int, dim: int, n_queries: int, seed: int = 0):
+    """Same clustered distribution as `make_dataset`, generated ON the TPU.
+
+    The chip sits behind a tunnel (~10 MB/s effective), so a host-generated
+    1M x 960 f32 set pays ~4 minutes of RNG on the single host core plus the
+    upload; device generation + `VecStore.from_device` ingest skips both.
+    Returns ((n, dim) f32 device array, (n_queries, dim) f32 host array).
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    n_clusters = 256
+    key = jax.random.PRNGKey(seed)
+    kc, kq, kb = jax.random.split(key, 3)
+    centers = jax.random.normal(kc, (n_clusters, dim), jnp.float32)
+
+    n_blocks = min(16, max(1, n // 4096)) or 1
+    rows = -(-n // n_blocks)  # ceil
+    n_pad = rows * n_blocks
+
+    # centers passed as an ARGUMENT: closing over a device array would
+    # constant-fold it into the HLO (slow, and brittle over the tunnel)
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))
+    def fill(buf, centers, key, row0, rows):
+        ka, kn = jax.random.split(key)
+        assign = jax.random.randint(ka, (rows,), 0, n_clusters)
+        block = centers[assign] + 0.35 * jax.random.normal(kn, (rows, dim), jnp.float32)
+        return jax.lax.dynamic_update_slice(buf, block, (row0, 0))
+
+    base = jnp.zeros((n_pad, dim), jnp.float32)
+    for b, kb_i in enumerate(jax.random.split(kb, n_blocks)):
+        base = fill(base, centers, kb_i, b * rows, rows)
+
+    @jax.jit
+    def make_queries(centers, key):
+        ka, kn = jax.random.split(key)
+        assign = jax.random.randint(ka, (n_queries,), 0, n_clusters)
+        return centers[assign] + 0.35 * jax.random.normal(kn, (n_queries, dim), jnp.float32)
+
+    queries = make_queries(centers, kq)
+    jax.block_until_ready(base)
+    return base, np.asarray(queries), n_pad
+
+
 def recall_at_k(gt_ids: np.ndarray, ids: np.ndarray, k: int) -> float:
     return float(
         np.mean([len(set(gt_ids[i][:k]) & set(ids[i][:k])) / k for i in range(len(gt_ids))])
@@ -72,10 +117,16 @@ def bench_scan(n: int, k: int, n_queries: int) -> dict:
     dim = 960
     log(f"dataset: N={n} dim={dim} queries={n_queries}")
     t0 = time.perf_counter()
-    base, queries = make_dataset(n, dim, n_queries)
-    log(f"host dataset in {time.perf_counter()-t0:.1f}s")
+    if jax.default_backend() == "cpu":
+        base, queries = make_dataset(n, dim, n_queries)
+        flat = FlatIndex.from_numpy(base, "l2sqr")
+    else:
+        base_dev, queries, n = make_dataset_device(n, dim, n_queries)
+        from lab_1806_vec_db_tpu.models.store import VecStore
 
-    flat = FlatIndex.from_numpy(base, "l2sqr")
+        flat = FlatIndex.from_store(VecStore.from_device(base_dev, "l2sqr"))
+        del base_dev
+    log(f"dataset + ingest in {time.perf_counter()-t0:.1f}s")
 
     log("computing exact f32 ground truth on-device...")
     t0 = time.perf_counter()
@@ -134,7 +185,7 @@ def bench_scan(n: int, k: int, n_queries: int) -> dict:
         "single_batch_ms": round(single_ms, 1),
         "ground_truth_seconds": round(gt_s, 1),
         "baseline": "Gist1M HNSW ef=120 multi-threaded CPU, 6514 QPS @ recall 0.8504 (data/t_bench.toml)",
-        "note": "packed int8 Pallas chunk-min scan + approx_min_k + exact f32 Pallas DMA rerank; synthetic clustered dim-960 dataset (no egress for Gist1M); recall vs exact f32 on-device GT; QPS = best of 5 chained rounds (shared chip)",
+        "note": "packed int8 Pallas chunk-min scan + approx_min_k(0.95) + exact f32 Pallas DMA rerank; device-born synthetic clustered dim-960 dataset (no egress for Gist1M); recall vs exact f32 on-device GT; QPS = best of 5 chained rounds (shared chip)",
     }
 
 

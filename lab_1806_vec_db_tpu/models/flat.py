@@ -23,6 +23,9 @@ from ..utils.candidates import CandidatePair, pairs_from_arrays
 # Scan policy (env VECDB_TPU_SCAN):
 #   "int8"  (default) — per-row-quantized int8 MXU candidate pass (2x bf16
 #            rate, half the HBM traffic) + exact f32 rerank.
+#   "pca"   — PCA-projected int8 candidate pass at VECDB_TPU_PCA_DIM dims
+#            (default 256: ~4x less stage-1 compute/traffic at dim 960) +
+#            deeper exact f32 rerank (ops/project.py).
 #   "bf16" / "2stage" — bf16 MXU candidate pass + exact f32 rerank.
 #   "exact" — single-pass full-f32 scan everywhere (ground-truth mode).
 _SCAN_MODE = os.environ.get("VECDB_TPU_SCAN", "int8")
@@ -31,6 +34,8 @@ _RERANK_MULT = 4  # stage-1 candidates per requested neighbor (floor 32):
 # measured at N=1e6 dim=960 clustered, r=32..80 all hold recall@10=0.9993 —
 # the packed scan's candidate ordering is good enough that extra rerank
 # depth only adds DMA traffic
+_PCA_DIM = int(os.environ.get("VECDB_TPU_PCA_DIM", "256"))
+_RERANK_MULT_PCA = int(os.environ.get("VECDB_TPU_RERANK_PCA", "16"))  # floor 128
 
 
 class FlatIndex:
@@ -99,7 +104,23 @@ class FlatIndex:
         if exact:
             return T.knn_scan(q, vecs, cache, jnp.int32(n), k, self.dist)
         r = min(max(_RERANK_MULT * k, 32), n)
-        if _SCAN_MODE == "int8":
+        if _SCAN_MODE == "pca" and _PCA_DIM < self.dim:
+            from ..ops import project as PJ
+
+            r = min(max(_RERANK_MULT_PCA * k, 128), n)
+            proj, mu, p8, pscale, pcache = self.store.device_proj_int8(_PCA_DIM)
+            qp = PJ.project(q, proj, mu)
+            if jax.default_backend() != "cpu":
+                from ..ops import pallas_scan as PS
+
+                _, cand = PS.scan_candidates_int8_packed(
+                    qp, p8, pscale, pcache, jnp.int32(n), r, self.dist
+                )
+            else:
+                _, cand = T.scan_candidates_int8(
+                    qp, p8, pscale, pcache, jnp.int32(n), r, self.dist
+                )
+        elif _SCAN_MODE in ("int8", "pca"):  # pca degrades to int8 at small dim
             base_i8, scales, cache = self.store.device_int8()
             if jax.default_backend() != "cpu":
                 # packed Pallas chunk-min: argmin folded into the distance

@@ -30,12 +30,12 @@ from functools import partial as _partial
 @_partial(
     jax.jit,
     static_argnames=("dist", "flags", "sr"),
-    donate_argnums=(0, 1, 2, 3, 4),
+    donate_argnums=(0, 1, 2, 3, 4, 5),
 )
-def _sync_rows_jit(dev, cache, bf16, slab, int8pair, rows, vals, dist, flags, sr):
+def _sync_rows_jit(dev, cache, bf16, slab, int8pair, projtriple, rows, vals, projmat, projmu, dist, flags, sr):
     """Scatter `vals` into row `rows` of every live device mirror in ONE
     dispatch, with donated (in-place) buffers."""
-    has_bf16, has_rerank, has_int8 = flags
+    has_bf16, has_rerank, has_int8, has_proj = flags
     dev = dev.at[rows].set(vals)
     cache = cache.at[rows].set(D.dist_cache(vals, dist))
     if has_bf16:
@@ -56,7 +56,17 @@ def _sync_rows_jit(dev, cache, bf16, slab, int8pair, rows, vals, dist, flags, sr
             v8 = jnp.pad(v8, ((0, 0), (0, q8.shape[1] - v8.shape[1])))
         q8v, scv = T.quantize_rows_int8(v8)
         int8pair = (q8.at[rows].set(q8v), sc.at[rows].set(scv))
-    return dev, cache, bf16, slab, int8pair
+    if has_proj:
+        from ..ops import project as PJ
+
+        p8, psc, pca = projtriple
+        p8v, pscv, pcav = PJ.project_quantize(vals, projmat, projmu, dist)
+        projtriple = (
+            p8.at[rows].set(p8v),
+            psc.at[rows].set(pscv),
+            pca.at[rows].set(pcav),
+        )
+    return dev, cache, bf16, slab, int8pair, projtriple
 
 
 def _round_cap(n: int) -> int:
@@ -64,6 +74,44 @@ def _round_cap(n: int) -> int:
     while cap < n:
         cap *= 2
     return cap
+
+
+# ---- chunked on-device mirror builders (device-born data path) ----
+# When the canonical data is born ON the device (from_device ingest — e.g.
+# the bench's jax.random dataset, or an embedding pipeline's output), the
+# derived mirrors are built device-side in bounded row blocks: one whole-set
+# pad/quantize materializes multi-GB transients next to the live mirrors
+# (OOM at N=1e6 x 960), and round-tripping through the host pays the tunnel
+# twice.  Blocked dynamic_update_slice into a donated buffer keeps the
+# transient to one block.
+
+_BLOCK_ROWS = 65536
+
+
+@_partial(jax.jit, static_argnames=("sr", "rows"), donate_argnums=(1,))
+def _slab_block_jit(vecs, slab, row0, sr, rows):
+    dim = vecs.shape[1]
+    v = jax.lax.dynamic_slice(vecs, (row0, 0), (rows, dim)).astype(jnp.float32)
+    dim_pad = sr * 128
+    if dim_pad != dim:
+        v = jnp.pad(v, ((0, 0), (0, dim_pad - dim)))
+    v = v.reshape(rows * sr, 128)
+    return jax.lax.dynamic_update_slice(slab, v, (row0 * sr, 0))
+
+
+@_partial(jax.jit, static_argnames=("dim_pad", "rows"), donate_argnums=(1, 2))
+def _int8_block_jit(vecs, q8, scale, row0, dim_pad, rows):
+    from ..ops import topk as T
+
+    dim = vecs.shape[1]
+    v = jax.lax.dynamic_slice(vecs, (row0, 0), (rows, dim)).astype(jnp.float32)
+    if dim_pad != dim:
+        v = jnp.pad(v, ((0, 0), (0, dim_pad - dim)))
+    q8v, scv = T.quantize_rows_int8(v)
+    return (
+        jax.lax.dynamic_update_slice(q8, q8v, (row0, 0)),
+        jax.lax.dynamic_update_slice(scale, scv, (row0,)),
+    )
 
 
 class VecStore:
@@ -81,8 +129,49 @@ class VecStore:
         self._dev_bf16: jax.Array | None = None
         self._dev_rerank: jax.Array | None = None
         self._dev_int8: tuple[jax.Array, jax.Array] | None = None
+        # (d_red, proj (dim, d_red), mu (dim,), (q8p, scale_p, cache_p))
+        self._dev_proj: tuple | None = None
         self._dirty_rows: set[int] = set()
         self._dev_full_dirty = True
+
+    @classmethod
+    def from_device(cls, vecs: jax.Array, dist: str) -> "VecStore":
+        """Ingest an already-device-resident (n, dim) array as the canonical
+        data — no host round-trip, no re-upload.  The host copy materializes
+        lazily on first host-side access (serde, native search, mutation)."""
+        n, dim = vecs.shape
+        store = cls.__new__(cls)
+        D.check_dist(dist)
+        store.dim = int(dim)
+        store.dist = dist
+        store.dtype = np.dtype(np.float32)
+        store._n = int(n)
+        store._cap = _round_cap(max(n, _MIN_CAP))
+        store._data = None  # lazy host mirror
+        vecs = vecs.astype(jnp.float32)
+        if store._cap != n:
+            buf = jnp.zeros((store._cap, store.dim), jnp.float32)
+            vecs = jax.lax.dynamic_update_slice(buf, vecs, (0, 0))
+        store._dev = vecs
+        store._dev_cache = D.dist_cache(vecs, dist)
+        store._dev_bf16 = None
+        store._dev_rerank = None
+        store._dev_int8 = None
+        store._dev_proj = None
+        store._dirty_rows = set()
+        store._dev_full_dirty = False
+        jax.block_until_ready(store._dev_cache)
+        return store
+
+    def _host(self) -> np.ndarray:
+        """The (cap, dim) host array, materializing it from the device
+        mirror on first access for device-born stores."""
+        if self._data is None:
+            host = np.zeros((self._cap, self.dim), dtype=self.dtype)
+            if self._n:
+                host[: self._n] = np.asarray(self._dev[: self._n]).astype(self.dtype)
+            self._data = host
+        return self._data
 
     # ---- host-side mutation (vec_set.rs push/pop/swap_remove parity) ----
     def __len__(self) -> int:
@@ -98,19 +187,19 @@ class VecStore:
 
     def numpy(self) -> np.ndarray:
         """Valid rows as a host array view (n, dim)."""
-        return self._data[: self._n]
+        return self._host()[: self._n]
 
     def __getitem__(self, i: int) -> np.ndarray:
         if not (0 <= i < self._n):
             raise IndexError(i)
-        return self._data[i]
+        return self._host()[i]
 
     def _grow_to(self, n: int) -> None:
         if n <= self._cap:
             return
         new_cap = _round_cap(n)
         new = np.zeros((new_cap, self.dim), dtype=self.dtype)
-        new[: self._n] = self._data[: self._n]
+        new[: self._n] = self._host()[: self._n]
         self._data = new
         self._cap = new_cap
         self._dev = None
@@ -124,7 +213,7 @@ class VecStore:
             raise ValueError(f"Dimension mismatch: {vec.shape[0]} != {self.dim}")
         self._grow_to(self._n + 1)
         idx = self._n
-        self._data[idx] = vec
+        self._host()[idx] = vec
         self._n += 1
         self._mark_dirty(idx)
         return idx
@@ -135,7 +224,7 @@ class VecStore:
             raise ValueError(f"Dimension mismatch: {vecs.shape} vs dim={self.dim}")
         start = self._n
         self._grow_to(self._n + len(vecs))
-        self._data[start : start + len(vecs)] = vecs
+        self._host()[start : start + len(vecs)] = vecs
         self._n += len(vecs)
         for i in range(start, self._n):
             self._mark_dirty(i)
@@ -146,10 +235,11 @@ class VecStore:
         if not (0 <= i < self._n):
             raise IndexError(i)
         last = self._n - 1
+        data = self._host()
         if i != last:
-            self._data[i] = self._data[last]
+            data[i] = data[last]
             self._mark_dirty(i)
-        self._data[last] = 0
+        data[last] = 0
         self._mark_dirty(last)
         self._n = last
 
@@ -170,12 +260,13 @@ class VecStore:
         """Return (vectors (cap, dim) f32, dist_cache (cap,) f32), synced."""
         if self._dev is None or self._dev_full_dirty:
             host = np.zeros((self._cap, self.dim), dtype=np.float32)
-            host[: self._n] = self._data[: self._n].astype(np.float32)
+            host[: self._n] = self._host()[: self._n].astype(np.float32)
             self._dev = jnp.asarray(host)
             self._dev_cache = D.dist_cache(self._dev, self.dist)
             self._dev_bf16 = None
             self._dev_rerank = None
             self._dev_int8 = None
+            self._dev_proj = None
             self._dev_full_dirty = False
             self._dirty_rows.clear()
             # barrier: let upload staging free before derived copies build —
@@ -184,7 +275,7 @@ class VecStore:
             jax.block_until_ready(self._dev_cache)
         elif self._dirty_rows:
             rows = np.fromiter(self._dirty_rows, dtype=np.int32)
-            vals = self._data[rows].astype(np.float32)
+            vals = self._host()[rows].astype(np.float32)
             # one fused + donated dispatch: every live device mirror updates
             # in place in a single round trip (eager .at[].set chains paid
             # ~23 ms tunnel latency each and copied the full arrays)
@@ -197,18 +288,27 @@ class VecStore:
                 self._dev_bf16 is not None,
                 self._dev_rerank is not None,
                 self._dev_int8 is not None,
+                self._dev_proj is not None,
             )
             from ..ops import pallas_gather as PG
 
             sr = PG.rerank_dim_pad(self.dim) // 128
-            dev, cache, bf16, slab, int8pair = _sync_rows_jit(
+            proj_mat, proj_mu = (
+                (self._dev_proj[1], self._dev_proj[2])
+                if flags[3]
+                else (dummy(), dummy())
+            )
+            dev, cache, bf16, slab, int8pair, projtriple = _sync_rows_jit(
                 self._dev,
                 self._dev_cache,
                 self._dev_bf16 if flags[0] else dummy(),
                 self._dev_rerank if flags[1] else dummy(),
                 self._dev_int8 if flags[2] else (dummy(), dummy()),
+                self._dev_proj[3] if flags[3] else (dummy(), dummy(), dummy()),
                 jnp.asarray(rows),
                 jnp.asarray(vals),
+                proj_mat,
+                proj_mu,
                 self.dist,
                 flags,
                 sr,
@@ -220,6 +320,8 @@ class VecStore:
                 self._dev_rerank = slab
             if flags[2]:
                 self._dev_int8 = int8pair
+            if flags[3]:
+                self._dev_proj = (self._dev_proj[0], proj_mat, proj_mu, projtriple)
             self._dirty_rows.clear()
         return self._dev, self._dev_cache
 
@@ -242,16 +344,28 @@ class VecStore:
         rerank kernel (ops/pallas_gather.py), synced and cached."""
         from ..ops import pallas_gather as PG
 
-        self.device()  # syncs dirty rows into _dev_rerank too
+        vecs, _ = self.device()  # syncs dirty rows into _dev_rerank too
         if self._dev_rerank is None:
-            # build the slab layout on the HOST and upload it directly: a
-            # device-side pad+reshape of the f32 mirror materializes ~2x the
-            # mirror in transients, which pushes peak HBM past the limit at
-            # N=1e6 x dim=960 when every mirror is live
             dim_pad = PG.rerank_dim_pad(self.dim)
-            host = np.zeros((self._cap, dim_pad), dtype=np.float32)
-            host[: self._n, : self.dim] = self._data[: self._n].astype(np.float32)
-            self._dev_rerank = jnp.asarray(host.reshape(self._cap * (dim_pad // 128), 128))
+            sr = dim_pad // 128
+            if self._data is None:
+                # device-born data: build the slab on-device in bounded row
+                # blocks (one full-set pad+reshape would transiently double
+                # the mirror; see the chunked-builder note above)
+                rows = min(_BLOCK_ROWS, self._cap)
+                slab = jnp.zeros((self._cap * sr, 128), jnp.float32)
+                for row0 in range(0, self._cap, rows):
+                    slab = _slab_block_jit(vecs, slab, row0, sr, rows)
+                self._dev_rerank = slab
+            else:
+                # host data: build the slab layout on the HOST and upload it
+                # directly — a device-side pad+reshape of the f32 mirror
+                # materializes ~2x the mirror in transients, which pushes
+                # peak HBM past the limit at N=1e6 x dim=960 when every
+                # mirror is live
+                host = np.zeros((self._cap, dim_pad), dtype=np.float32)
+                host[: self._n, : self.dim] = self._data[: self._n].astype(np.float32)
+                self._dev_rerank = jnp.asarray(host.reshape(self._cap * sr, 128))
             jax.block_until_ready(self._dev_rerank)
         return self._dev_rerank
 
@@ -265,6 +379,16 @@ class VecStore:
         from ..ops import topk as T
 
         vecs, cache = self.device()
+        if self._dev_int8 is None and self._data is None:
+            # device-born data: blocked on-device quantize (see note above)
+            dim_pad = ((self.dim + 127) // 128) * 128
+            rows = min(_BLOCK_ROWS, self._cap)
+            q8 = jnp.zeros((self._cap, dim_pad), jnp.int8)
+            scale = jnp.ones((self._cap,), jnp.float32)
+            for row0 in range(0, self._cap, rows):
+                q8, scale = _int8_block_jit(vecs, q8, scale, row0, dim_pad, rows)
+            self._dev_int8 = (q8, scale)
+            jax.block_until_ready(self._dev_int8)
         if self._dev_int8 is None:
             # full-lane columns: the int8 MXU runs ~1.45x faster on
             # 128-multiple dims (e.g. 960 -> 1024 measured 137 -> 208 TOPS);
@@ -288,25 +412,49 @@ class VecStore:
             jax.block_until_ready(self._dev_int8)
         return self._dev_int8[0], self._dev_int8[1], cache
 
+    def device_proj_int8(self, d_red: int):
+        """Return (proj (dim, d_red) f32, mu (dim,) f32, q8p (cap, d_red)
+        int8, scale_p (cap,) f32, cache_p (cap,) f32): the PCA-projected
+        int8 stage-1 mirror (ops/project.py), synced and cached.
+
+        The projection is fit ONCE from the data present at first call and
+        then held fixed; subsequent row writes are projected through it
+        incrementally.  That is sound because the mirror only orders stage-1
+        candidates — the exact f32 rerank downstream is distribution-free.
+        A full rebuild (capacity growth / bulk upload) refits.
+        """
+        from ..ops import project as PJ
+
+        vecs, _ = self.device()  # syncs dirty rows into _dev_proj too
+        if self._dev_proj is None or self._dev_proj[0] != d_red:
+            proj_h, mu_h = PJ.pca_fit(vecs, self._n, d_red, self.dist)
+            proj = jnp.asarray(proj_h)
+            mu = jnp.asarray(mu_h)
+            triple = PJ.project_quantize(vecs, proj, mu, self.dist)
+            jax.block_until_ready(triple)
+            self._dev_proj = (d_red, proj, mu, triple)
+        _, proj, mu, (q8p, scale_p, cache_p) = self._dev_proj
+        return proj, mu, q8p, scale_p, cache_p
+
     # ---- conversions (vec_set.rs:142-163 parity) ----
     def to_type(self, dtype) -> "VecStore":
         """dtype conversion via f32 mediation (vec_set.rs:142-149)."""
         out = VecStore(self.dim, self.dist, capacity=self._n, dtype=dtype)
         if self._n:
-            out.batch_push(self._data[: self._n].astype(np.float32).astype(dtype))
+            out.batch_push(self._host()[: self._n].astype(np.float32).astype(dtype))
         return out
 
     def random_sample(self, size: int, rng: np.random.Generator) -> np.ndarray:
         """Sample `size` rows without replacement (vec_set.rs:154-163)."""
         size = min(size, self._n)
         sel = rng.choice(self._n, size=size, replace=False)
-        return self._data[np.sort(sel)].copy()
+        return self._host()[np.sort(sel)].copy()
 
     # ---- serde ----
     def state_arrays(self, include_vectors: bool = True) -> dict[str, np.ndarray]:
         out = {}
         if include_vectors:
-            out["vectors"] = self._data[: self._n].copy()
+            out["vectors"] = self._host()[: self._n].copy()
         return out
 
     @classmethod
