@@ -9,6 +9,15 @@ masked batched GEMM scan + top-k (`ops/topk.knn_gathered`) — the
 
 As in the reference, `ef` means the number of probed lists
 (ivf_index.rs:137-142) and the default is 4 probes (ivf_index.rs:97).
+
+Large batches take the BINNED path (`_knn_device_binned`): each probed list
+is scanned ONCE against the block of queries probing it (cluster-sorted
+int8 storage + on-device query binning + segmented group-min kernel).  Its
+cost is ~flat in N (≈25-30 ms/1024-query batch at any size: binning, block
+assembly, regroup, rerank), while the exact full scan grows linearly
+(~16 ms at N=1e6 on one v5e chip) — so at 1M the brute scan still wins and
+is the default search path; the binned IVF is the scale-out design for
+N >= ~3e6 per chip, measured recall@10 0.989 at n_probes=4 / nlist=256.
 """
 
 from __future__ import annotations
@@ -24,6 +33,29 @@ from ..utils import serde
 from ..utils.candidates import CandidatePair, pairs_from_arrays
 
 DEFAULT_N_PROBES = 4
+_QB = 128  # queries per list bin in the batched binned scan
+_LPAD_MULT = 512  # list rows padded to this (binned kernel grid tile)
+_LCAP_QUANTILE = 0.9  # lists capped at this length quantile (padded); the
+# remainder spills to the always-scanned overflow segment
+
+
+def _build_posting(assign: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized posting-list build: (k, Lmax) int32 (-1 padded), (k,) lens.
+
+    (The reference pushes row-by-row into Vec<Vec<usize>>,
+    ivf_index.rs:88-96; a stable argsort groups 1M rows in ~0.1 s.)
+    """
+    n = len(assign)
+    counts = np.bincount(assign, minlength=k).astype(np.int32)
+    l_max = max(int(counts.max()), 1)
+    posting = np.full((k, l_max), -1, dtype=np.int32)
+    if n:
+        order = np.argsort(assign, kind="stable").astype(np.int32)
+        start = np.zeros(k, dtype=np.int64)
+        start[1:] = np.cumsum(counts)[:-1]
+        cols = np.arange(n, dtype=np.int64) - start[assign[order]]
+        posting[assign[order], cols] = order
+    return posting, counts
 
 
 class IVFIndex:
@@ -45,6 +77,9 @@ class IVFIndex:
         self.default_n_probes = DEFAULT_N_PROBES
         self._dev_centroids = None
         self._dev_posting = None
+        # (q8_sorted, scale_sorted, cache_sorted, perm_pad, lpad) for the
+        # batched binned scan; built lazily on first large-batch search
+        self._dev_binned = None
 
     @property
     def dim(self) -> int:
@@ -85,16 +120,36 @@ class IVFIndex:
         assign = np.asarray(jax.device_get(KM.find_nearest(vec_dev, centroids, dist)))
         centroids = np.asarray(jax.device_get(centroids))
 
-        counts = np.bincount(assign, minlength=config.k)
-        l_max = max(int(counts.max()), 1) if n else 1
-        posting = np.full((config.k, l_max), -1, dtype=np.int32)
-        cursor = np.zeros(config.k, dtype=np.int64)
-        for i, c in enumerate(assign):
-            posting[c, cursor[c]] = i
-            cursor[c] += 1
-
         store = VecStore.from_numpy(vectors, dist)
-        return cls(store, config, centroids, posting, counts.astype(np.int32))
+        posting, counts = _build_posting(assign, config.k)
+        return cls(store, config, centroids, posting, counts)
+
+    @classmethod
+    def from_store(cls, store: VecStore, config: IVFConfig, seed: int = 0) -> "IVFIndex":
+        """Build over an existing (possibly device-born) store with the
+        k-means + assignment running entirely on device."""
+        import jax
+
+        n = len(store)
+        vec_dev, _ = store.device()
+        if config.k_means_size is not None and config.k_means_size < n:
+            train_dev = vec_dev[: config.k_means_size]  # device-born: rows already shuffled
+            n_train = config.k_means_size
+        else:
+            train_dev = vec_dev
+            n_train = n
+        centroids = KM.kmeans_fit(
+            jax.random.PRNGKey(seed),
+            train_dev,
+            jnp.int32(n_train),
+            config.k,
+            config.k_means_max_iter,
+            config.k_means_tol,
+            store.dist,
+        )
+        assign = np.asarray(KM.find_nearest(vec_dev, centroids, store.dist))[:n]
+        posting, counts = _build_posting(assign, config.k)
+        return cls(store, config, np.asarray(centroids), posting, counts)
 
     # ---- search (ivf_index.rs:143-154) ----
     def _device(self):
@@ -103,16 +158,177 @@ class IVFIndex:
             self._dev_posting = jnp.asarray(self.posting)
         return self._dev_centroids, self._dev_posting
 
+    def _device_sorted(self):
+        """Cluster-sorted int8 mirror for the binned scan, built once.
+
+        Rows are permuted so each posting list is one contiguous padded
+        segment of `lpad` rows; padded rows carry a +BIG dist-cache so they
+        lose every group-min by construction (no masking in the kernel).
+
+        k-means lists are skewed (merged natural clusters can be ~5x the
+        mean), so padding every list to the GLOBAL max would multiply memory
+        and scan work.  Lists are instead capped at the padded
+        `_LCAP_QUANTILE` length; rows beyond the cap spill into a shared
+        OVERFLOW segment that every query scans via the full-scan kernel —
+        so spilled rows stay findable regardless of probe choice.
+        """
+        if self._dev_binned is None:
+            from ..ops.pallas_scan import _BIG
+
+            k = self.config.k
+            lens = self.posting_len
+            l_q = int(np.quantile(lens, _LCAP_QUANTILE)) if len(lens) else 1
+            lpad = max(_LPAD_MULT, ((l_q + _LPAD_MULT - 1) // _LPAD_MULT) * _LPAD_MULT)
+            perm_pad = np.full((k * lpad,), -1, dtype=np.int32)
+            ov_ids = []
+            for l in range(k):
+                c = int(lens[l])
+                kept = min(c, lpad)
+                perm_pad[l * lpad : l * lpad + kept] = self.posting[l, :kept]
+                if c > lpad:
+                    ov_ids.append(self.posting[l, lpad:c])
+            q8_all, scales, cache = self.store.device_int8()
+            pp = jnp.asarray(perm_pad)
+            clamped = jnp.maximum(pp, 0)
+            valid = pp >= 0
+            q8_sorted = q8_all[clamped]
+            scale_sorted = jnp.where(valid, scales[clamped], 1.0)
+            cache_sorted = jnp.where(valid, cache[clamped], jnp.float32(_BIG))
+            ov = None
+            if ov_ids:
+                pov = jnp.asarray(np.concatenate(ov_ids).astype(np.int32))
+                ov = (q8_all[pov], scales[pov], cache[pov], pov)
+            import jax
+
+            jax.block_until_ready(q8_sorted)
+            self._dev_binned = (q8_sorted, scale_sorted, cache_sorted, pp, lpad, ov)
+        return self._dev_binned
+
+    def _knn_device_binned(self, q_dev, k: int, n_probes: int, interpret: bool = False):
+        """Batched binned IVF search, fully on device (no host sync).
+
+        The per-query list scan of the reference (ivf_index.rs:143-154)
+        inverts into per-LIST scans over the block of queries probing each
+        list: centroid GEMM top-p -> on-device query binning -> segmented
+        packed chunk-min scan -> per-query regroup + top-r -> exact f32
+        rerank.  Overflowing a list's query bin (> _QB probes) drops that
+        (query, list) pair only.
+        """
+        import jax
+        from ..ops import binning as BN
+        from ..ops import distance as D
+        from ..ops import pallas_gather as PG
+        from ..ops import pallas_scan as PS
+        from ..ops.topk import INVALID_ID, quantize_rows_int8
+
+        q8s, scale_s, cache_s, perm_pad, lpad, overflow = self._device_sorted()
+        centroids, _ = self._device()
+        nlist = self.config.k
+        spl = lpad // PS._GS  # survivors per list (64 per 512-row tile)
+
+        B = q_dev.shape[0]
+        B_pad = max(128, ((B + 127) // 128) * 128)
+        qp = jnp.pad(q_dev.astype(jnp.float32), ((0, B_pad - B), (0, 0)))
+        _, probe_ids = KM.find_n_nearest(qp, centroids, n_probes, self.dist)
+        bins, slots = BN.bin_queries(probe_ids, nlist, _QB)
+
+        q_cache = D.dist_cache(qp, self.dist)
+        q8, q_scale = quantize_rows_int8(qp)
+        if q8s.shape[1] != q8.shape[1]:
+            q8 = jnp.pad(q8, ((0, 0), (0, q8s.shape[1] - q8.shape[1])))
+        qs2 = q_scale * (2.0 if self.dist == "l2sqr" else 1.0)
+
+        bc = jnp.maximum(bins, 0)  # (nlist, QB); pad slots read query 0, never used
+        qbT = jnp.transpose(q8[bc], (0, 2, 1))  # (nlist, dim, QB) int8
+        qs2_b = qs2[bc][:, None, :]
+        qc_b = q_cache[bc][:, None, :]
+
+        packed = PS.scan_chunkmin_int8_binned(
+            qbT, qs2_b, qc_b, q8s, scale_s, cache_s, self.dist, interpret=interpret
+        )  # (nlist*spl, QB)
+
+        # regroup: query b's survivors live in column slots[b,j] of list
+        # probe_ids[b,j]'s row block
+        pkq = jnp.transpose(packed.reshape(nlist, spl, _QB), (0, 2, 1)).reshape(
+            nlist * _QB, spl
+        )
+        dropped = slots < 0
+        rows = probe_ids * _QB + jnp.maximum(slots, 0)  # (B_pad, p)
+        cand_pk = pkq[rows.reshape(-1)].reshape(B_pad, n_probes * spl)
+        big_bits = np.float32(3.0e38).view(np.int32).item()
+        cand_pk = jnp.where(
+            jnp.repeat(dropped, spl, axis=1), jnp.int32(big_bits), cand_pk
+        )
+        # sorted-row decode: survivor m of list l sits at row
+        # l*lpad + (m//SPT)*NB + (m%SPT) + low_bits*SPT  (strided groups)
+        m_idx = jnp.arange(spl, dtype=jnp.int32)
+        base_off = (m_idx // PS._SPT) * PS._NB_BIN + (m_idx % PS._SPT)
+        row0 = (probe_ids[:, :, None] * lpad + base_off[None, None, :]).reshape(
+            B_pad, n_probes * spl
+        )
+
+        as_f32 = jax.lax.bitcast_convert_type(cand_pk, jnp.float32)
+        # deeper rerank than the full scan: the candidate pool is ordered by
+        # int8 distance over in-list rows whose true distances are CLOSE
+        # (same cluster), so int8 ordering noise needs more exact-rerank
+        # headroom to undo
+        r = min(max(8 * k, 64), n_probes * spl)
+        if n_probes * spl > 4 * r and not interpret:
+            # bucketed partial reduction; a full lax.top_k sort over the
+            # (B, p*spl) pool costs tens of ms at pool ~5k
+            ndneg, pos = jax.lax.approx_min_k(as_f32, r, recall_target=0.95)
+            nd = -ndneg
+        else:
+            nd, pos = jax.lax.top_k(-as_f32, r)
+        pk_sel = jnp.take_along_axis(cand_pk, pos, axis=1)
+        r0_sel = jnp.take_along_axis(row0, pos, axis=1)
+        sorted_ids = r0_sel + (pk_sel & (PS._GS - 1)) * PS._SPT
+        orig = perm_pad[jnp.clip(sorted_ids, 0, perm_pad.shape[0] - 1)]
+        bad = -nd >= jnp.float32(1.0e38)
+        orig = jnp.where(bad, INVALID_ID, orig)
+
+        if overflow is not None:
+            # spilled rows of over-long lists: every query scans them via
+            # the full-scan kernel (they stay findable for any probe set)
+            q8_ov, scale_ov, cache_ov, perm_ov = overflow
+            n_ov = q8_ov.shape[0]
+            r_ov = min(max(4 * k, 32), n_ov)
+            if jax.default_backend() != "cpu" or interpret:
+                bd_ov, bi_ov = PS.scan_candidates_int8_packed(
+                    qp, q8_ov, scale_ov, cache_ov, jnp.int32(n_ov), r_ov,
+                    self.dist, interpret=interpret,
+                )
+            else:
+                from ..ops import topk as T
+
+                bd_ov, bi_ov = T.scan_candidates_int8(
+                    qp, q8_ov, scale_ov, cache_ov, jnp.int32(n_ov), r_ov, self.dist
+                )
+            orig_ov = jnp.where(
+                bi_ov >= 0, perm_ov[jnp.clip(bi_ov, 0, n_ov - 1)], INVALID_ID
+            )
+            orig = jnp.concatenate([orig, orig_ov], axis=1)
+
+        base_rs = self.store.device_rerank()
+        d, i = PG.rerank_topk_rs(qp, base_rs, orig, k, self.dist, interpret=interpret)
+        return d[:B], i[:B]
+
     def knn_batch(self, queries: np.ndarray, k: int, n_probes: int | None = None):
         n_probes = n_probes or self.default_n_probes
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         q_dev = jnp.asarray(queries)
+        import jax
+
+        if jax.default_backend() != "cpu" and len(queries) >= 32:
+            # batched binned path: each probed list is scanned ONCE against
+            # the block of queries probing it (per-query posting gathers
+            # re-read shared rows B times over)
+            d, i = self._knn_device_binned(q_dev, k, n_probes)
+            return np.asarray(d), np.asarray(i)
         centroids, posting = self._device()
         _, probe_ids = KM.find_n_nearest(q_dev, centroids, n_probes, self.dist)
         cand = posting[probe_ids]  # (B, n_probes, Lmax)
         cand = cand.reshape(cand.shape[0], -1)
-        import jax
-
         if jax.default_backend() != "cpu":
             # probe unions can span most of the set — stream them through
             # the DMA-gather kernel instead of one giant XLA gather

@@ -488,6 +488,120 @@ def scan_chunkmin_int8_packed(
     )
 
 
+_NB_BIN = 512  # sorted-list rows per grid step: lists pad to 512-row
+# multiples, so the grid tile matches the padding granularity (a 2048 tile
+# would force 4x the list padding); the per-step query block re-fetch is
+# ~128 KB against a 512 KB base tile — minor
+_SPT = 128  # survivors per tile.  Unlike the full-scan kernel (1 per 128
+# rows), a query's true neighbors CONCENTRATE in its own posting list, so
+# the binned reduction must keep many more survivors per list: 128 strided
+# groups of 4 rows — expected same-group collisions of true top-10 rows at
+# list length ~4000 are ~0.05 (~1500: ~0.12).  The strided partition lets
+# the reduce run as 2 pairwise sublane-half mins (~1 VPU pass) instead of
+# 128 tiny reduces.
+_GS = _NB_BIN // _SPT  # rows per survivor group (8) -> 3 packed low bits
+
+
+def _scan_kernel_int8_binned(
+    qbT_ref,  # VMEM (1, dim, QB) int8 — this list's binned queries, transposed
+    qs2_ref,  # VMEM (1, 1, QB) f32: 2 * query scale (l2sqr) / scale (cos)
+    qc_ref,  # VMEM (1, 1, QB) f32 query dist-cache
+    scale_ref,  # VMEM (NB, 1) f32 sorted base dequant scales tile
+    cache_ref,  # VMEM (NB, 1) f32 sorted base dist-cache tile (+BIG on pads)
+    base_ref,  # VMEM (NB, dim) int8 sorted base tile
+    out_ref,  # VMEM (SPT, QB) int32 packed (dist bits | row-level-in-group)
+    *,
+    dist: str,
+):
+    """Packed strided group-min over ONE list tile x that list's query bin.
+
+    Identical distance math to `_scan_kernel_int8_packed`, minus all
+    validity masking: padded base rows carry a +BIG dist-cache (so they
+    lose every min by construction) and padded query slots are simply never
+    read back by the caller's regroup step.
+
+    Survivor s of the tile is the min over rows {s, s+SPT, ..., s+7*SPT}
+    (strided groups); the packed low 3 bits hold the row's level r // SPT,
+    so row-in-tile = level * SPT + s.
+    """
+    NB = base_ref.shape[0]
+    QB = qbT_ref.shape[2]
+    qs2 = qs2_ref[0]  # (1, QB)
+    qc = qc_ref[0]
+
+    dots = jax.lax.dot_general(
+        base_ref[:],
+        qbT_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (NB, QB) int32 on the MXU
+    dots_f = dots.astype(jnp.float32)
+    if dist == "l2sqr":
+        d = (cache_ref[:] + qc) - dots_f * (scale_ref[:] * qs2)
+    else:
+        denom = jnp.maximum(cache_ref[:] * qc, 1e-10)
+        d = 1.0 - (dots_f * (scale_ref[:] * qs2)) / denom
+    lvl = jax.lax.broadcasted_iota(jnp.int32, (NB, QB), 0) // _SPT  # 0..GS-1
+    bits = pltpu.bitcast(d, jnp.int32)
+    m = (bits & jnp.int32(~(_GS - 1))) | lvl
+    h = NB // 2
+    while h >= _SPT:
+        m = jnp.minimum(m[:h, :], m[h : 2 * h, :])
+        h //= 2
+    out_ref[:] = m
+
+
+@functools.partial(jax.jit, static_argnames=("dist", "interpret"))
+def scan_chunkmin_int8_binned(
+    qbT: jax.Array,  # (nlist, dim, QB) int8 — per-list binned queries
+    qs2_b: jax.Array,  # (nlist, 1, QB) f32
+    qc_b: jax.Array,  # (nlist, 1, QB) f32
+    base_i8: jax.Array,  # (nlist * Lpad, dim) int8, cluster-sorted
+    base_scale: jax.Array,  # (nlist * Lpad,) f32
+    base_cache: jax.Array,  # (nlist * Lpad,) f32, +BIG on padded rows
+    dist: str,
+    interpret: bool = False,
+) -> jax.Array:
+    """Segmented packed group-min: every list scanned once against its bin.
+
+    `Lpad` (= rows per list) must be a multiple of `_NB_BIN`.  Returns
+    (nlist * Lpad/_GS, QB) int32 packed survivors; survivor row m of list l
+    decodes to sorted row l*Lpad + (m%_SPT within its tile) + low3*_SPT —
+    see `decode_binned_rows`.
+    """
+    nlist, dim, QB = qbT.shape
+    total = base_i8.shape[0]
+    lpad = total // nlist
+    assert lpad % _NB_BIN == 0, (lpad, _NB_BIN)
+    gpl = lpad // _NB_BIN  # grid steps per list
+    G = nlist * gpl
+    SB = _SPT
+
+    kernel = functools.partial(_scan_kernel_int8_binned, dist=dist)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, dim, QB), lambda g: (g // gpl, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, QB), lambda g: (g // gpl, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, QB), lambda g: (g // gpl, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NB_BIN, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NB_BIN, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NB_BIN, dim), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SB, QB), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G * SB, QB), jnp.int32),
+        interpret=interpret,
+    )(
+        qbT,
+        qs2_b.astype(jnp.float32),
+        qc_b.astype(jnp.float32),
+        base_scale.astype(jnp.float32)[:, None],
+        base_cache.astype(jnp.float32)[:, None],
+        base_i8,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("r", "dist", "recall_target", "interpret"))
 def scan_candidates_int8_packed(
     queries: jax.Array,  # (B, dim) f32
