@@ -524,9 +524,27 @@ class HNSWIndex:
         r = min(efc, self.store.capacity)
         if on_tpu and n_prev > 4 * r:
             base_i8, scales, _ = self.store.device_int8()
-            _, cand = T.scan_candidates_int8(
-                q, base_i8, scales, vcache, jnp.int32(n_prev), r, cfg.dist
-            )
+            try:
+                _, cand = T.scan_candidates_int8(
+                    q, base_i8, scales, vcache, jnp.int32(n_prev), r, cfg.dist
+                )
+            except jax.errors.JaxRuntimeError:
+                # the remote TPU compiler rejects the XLA int8 scan at some
+                # (chunk, capacity) shapes (HTTP 500 at cap 2^20); fall back
+                # to the packed Pallas kernel, query-sliced to its proven
+                # <=1024-query VMEM envelope.  Its 1-per-128-row chunk-min
+                # survivor cap is harmless here: chunk members are new rows
+                # whose prefix neighbors are storage-scattered.
+                from ..ops import pallas_scan as PS
+
+                parts = [
+                    PS.scan_candidates_int8_packed(
+                        q[s : s + 1024], base_i8, scales, vcache,
+                        jnp.int32(n_prev), r, cfg.dist,
+                    )[1]
+                    for s in range(0, q.shape[0], 1024)
+                ]
+                cand = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
             from ..ops import pallas_gather as PG
 
             bd0, bi0 = PG.rerank_topk_rs(
@@ -623,6 +641,7 @@ class HNSWIndex:
                 self.entry_point = int(ids[r])
 
     _REV_ADD_CAP = 64  # max new candidates folded into one arrange round
+    _REV_PIVOT_CAP = 4096  # max pivots per arrange call (bounds HBM transients)
 
     def _apply_reverse(self, level: int, rev_edges: dict[int, list[int]], limit: int) -> None:
         """Batched reverse-link arrangement; large add-lists are split into
@@ -642,6 +661,11 @@ class HNSWIndex:
                     pending[p] = rest
                 else:
                     del pending[p]
+                if len(round_edges) >= self._REV_PIVOT_CAP:
+                    # bound the arrange batch: an unbounded pivot set (up to
+                    # chunk*M at 1M scale) gathers multi-GB vector blocks and
+                    # exhausts HBM next to the four live mirrors
+                    break
 
             pivots = sorted(round_edges.keys())
             P = len(pivots)

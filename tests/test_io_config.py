@@ -177,3 +177,22 @@ data_path = "{test_p}"
     out = harness.ResultList.load(str(tmp_path / "results.toml"))
     assert "Flat" in out.results
     assert os.path.exists(tmp_path / "results.html")
+
+
+def test_make_dataset_device_matches_shape():
+    """bench.py's on-device dataset generator (runs on any backend)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    base, queries, n = bench.make_dataset_device(1000, 64, 16, seed=3)
+    assert n >= 1000 and base.shape == (n, 64) and queries.shape == (16, 64)
+    import numpy as np
+
+    b = np.asarray(base)
+    assert np.isfinite(b).all() and b.std() > 0.5  # clustered standard-normal mix
+    # deterministic per seed
+    base2, queries2, _ = bench.make_dataset_device(1000, 64, 16, seed=3)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(base2))
+    np.testing.assert_array_equal(queries, queries2)
