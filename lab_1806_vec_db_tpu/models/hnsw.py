@@ -49,6 +49,9 @@ from ..utils import serde
 from ..utils.candidates import CandidatePair, pairs_from_arrays
 
 HEURISTIC_CAND = 64
+
+# set to a utils.profiling.Spans to instrument bulk build (adds device syncs)
+BUILD_SPANS = None
 CHUNK_LADDER = (1, 4, 16, 64, 256, 1024, 4096)
 START_BATCH_SINCE = 1000  # hnsw_index.rs:506
 
@@ -495,12 +498,24 @@ class HNSWIndex:
         """
         import jax
 
+        spans = BUILD_SPANS
+
+        def _sync(x):
+            if spans is not None:
+                jax.block_until_ready(x)
+            return x
+
         cfg = self.config
         c = len(ids)
         c_pad = _pad_ladder(c)
         entry_point = self.entry_point
         n_prev = int(ids.min())  # ids are appended: rows [0, n_prev) are the
         # frozen prefix the chunk searches against
+
+        import contextlib
+
+        def _span(name):
+            return spans.span(name) if spans is not None else contextlib.nullcontext()
 
         vecs, vcache = self.store.device()
 
@@ -517,6 +532,8 @@ class HNSWIndex:
 
         efc = cfg.ef_construction
         on_tpu = jax.default_backend() != "cpu"
+        _scan_span = _span("scan-pool")
+        _scan_span.__enter__()
 
         # level-0 candidate pool: exact-grade two-stage scan of the prefix
         from ..ops import distance as D
@@ -525,33 +542,42 @@ class HNSWIndex:
         if on_tpu and n_prev > 4 * r:
             base_i8, scales, _ = self.store.device_int8()
             try:
-                _, cand = T.scan_candidates_int8(
-                    q, base_i8, scales, vcache, jnp.int32(n_prev), r, cfg.dist
-                )
-            except jax.errors.JaxRuntimeError:
-                # the remote TPU compiler rejects the XLA int8 scan at some
-                # (chunk, capacity) shapes (HTTP 500 at cap 2^20); fall back
-                # to the packed Pallas kernel, query-sliced to its proven
-                # <=1024-query VMEM envelope.  Its 1-per-128-row chunk-min
-                # survivor cap is harmless here: chunk members are new rows
-                # whose prefix neighbors are storage-scattered.
+                # packed Pallas kernel, query-sliced to its proven
+                # <=1024-query VMEM envelope: streams the prefix ONCE per
+                # slice (the XLA int8 scan re-streams it per 128-query row
+                # tile — 4x the HBM traffic at chunk 4096).  Its
+                # 1-per-128-row chunk-min survivor cap is harmless here:
+                # chunk members are new rows whose prefix neighbors are
+                # storage-scattered.
                 from ..ops import pallas_scan as PS
 
                 parts = [
                     PS.scan_candidates_int8_packed(
                         q[s : s + 1024], base_i8, scales, vcache,
                         jnp.int32(n_prev), r, cfg.dist,
-                    )[1]
+                    )
                     for s in range(0, q.shape[0], 1024)
                 ]
-                cand = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-            from ..ops import pallas_gather as PG
-
-            bd0, bi0 = PG.rerank_topk_rs(
-                q, self.store.device_rerank(), cand, r, cfg.dist
-            )
+                if len(parts) > 1:
+                    bd0 = jnp.concatenate([p[0] for p in parts], axis=0)
+                    bi0 = jnp.concatenate([p[1] for p in parts], axis=0)
+                else:
+                    bd0, bi0 = parts[0]
+            except jax.errors.JaxRuntimeError:
+                # remote-compiler rejection (intermittent HTTP 500s): fall
+                # back to the plain XLA formulation
+                bd0, bi0 = T.scan_candidates_int8(
+                    q, base_i8, scales, vcache, jnp.int32(n_prev), r, cfg.dist
+                )
+            # no exact rerank here: the pool only needs approximate ORDER —
+            # _select_links recomputes exact f32 distances for the top
+            # HEURISTIC_CAND candidates before the selection heuristic, so
+            # link quality is unaffected while each chunk saves a
+            # (c_pad x r)-row DMA rerank pass
         else:
             bd0, bi0 = T.knn_scan(q, vecs, vcache, jnp.int32(n_prev), r, cfg.dist)
+        _sync(bd0)
+        _scan_span.__exit__(None, None, None)
         cand_by_level: dict[int, tuple[jax.Array, jax.Array]] = {0: (bd0, bi0)}
 
         # upper-level pools: exact kNN among that level's (frozen) members
@@ -575,29 +601,31 @@ class HNSWIndex:
 
         # intra-chunk patch distances (hnsw_index.rs:430-437)
         chunk_vec = q
-        peer_d = D.pairwise(chunk_vec, chunk_vec, cfg.dist)  # device (c_pad, c_pad)
+        with _span("peer-dist"):
+            peer_d = _sync(D.pairwise(chunk_vec, chunk_vec, cfg.dist))
 
         for level in sorted(cand_by_level.keys(), reverse=True):
             bd, bi = cand_by_level[level]
             need = plevels >= level
             if not need.any():
                 continue
-            sel = _select_links(
-                vecs,
-                vcache,
-                chunk_vec,
-                q_cache,
-                bd,
-                bi,
-                pids_dev,
-                plevels_dev,
-                jnp.int32(level),
-                peer_d,
-                cfg.m,
-                cfg.dist,
-                min(HEURISTIC_CAND, bd.shape[1] + c_pad),
-            )
-            sel = np.asarray(sel)  # (c_pad, m) — the only per-level download
+            with _span("select-links"):
+                sel = _select_links(
+                    vecs,
+                    vcache,
+                    chunk_vec,
+                    q_cache,
+                    bd,
+                    bi,
+                    pids_dev,
+                    plevels_dev,
+                    jnp.int32(level),
+                    peer_d,
+                    cfg.m,
+                    cfg.dist,
+                    min(HEURISTIC_CAND, bd.shape[1] + c_pad),
+                )
+                sel = np.asarray(sel)  # (c_pad, m) — the only per-level download
 
             limit = cfg.max_m0 if level == 0 else cfg.m
             # forward links (initially limited to m even at level 0,
@@ -605,6 +633,8 @@ class HNSWIndex:
             fwd_rows = []
             fwd_vals = []
             rev_edges: dict[int, list[int]] = {}
+            _host_span = _span("host-links")
+            _host_span.__enter__()
             for r in range(c):
                 node = int(ids[r])
                 if not need[r]:
@@ -629,10 +659,12 @@ class HNSWIndex:
 
             if fwd_rows:
                 self._write_links0(np.array(fwd_rows), np.array(fwd_vals))
+            _host_span.__exit__(None, None, None)
 
             # reverse links: batched arrange (hnsw_index.rs:204-239)
             if rev_edges:
-                self._apply_reverse(level, rev_edges, limit)
+                with _span("reverse-arrange"):
+                    self._apply_reverse(level, rev_edges, limit)
 
         # entry point update (hnsw_index.rs:448-455)
         for r in range(c):
@@ -651,6 +683,29 @@ class HNSWIndex:
         pending = {p: list(v) for p, v in rev_edges.items()}
         ul = self._upper(level) if level > 0 else None
         vecs, _ = self.store.device()
+
+        # Two-phase pipeline: dispatch EVERY round's device arrange first
+        # (they are independent — each pivot appears in exactly one round
+        # unless its add-list overflows _REV_ADD_CAP, in which case its
+        # later round must see the earlier round's output, handled below by
+        # flushing between dependent rounds), then download the results.
+        # Downloads through this transport run at ~6 MB/s with ~100 ms RTT,
+        # so overlapping device compute with the serial downloads is worth
+        # ~30% of build wall time.
+        rounds = []  # (pivots, device new_rows)
+
+        def flush():
+            for pivots, out in rounds:
+                new_rows = np.asarray(out)
+                if level == 0:
+                    self._write_links0(np.array(pivots), new_rows[: len(pivots)])
+                else:
+                    for idx, p in enumerate(pivots):
+                        rrow = ul.ensure_member(p)
+                        ul.links[rrow] = new_rows[idx]
+                    ul.dirty = True
+            rounds.clear()
+
         while pending:
             round_edges = {}
             for p in list(pending.keys()):
@@ -666,6 +721,11 @@ class HNSWIndex:
                     # chunk*M at 1M scale) gathers multi-GB vector blocks and
                     # exhausts HBM next to the four live mirrors
                     break
+
+            if pending and any(p in pending for p in round_edges):
+                # a pivot carries over to a later round: commit outstanding
+                # results so the dependent round reads fresh links
+                flush()
 
             pivots = sorted(round_edges.keys())
             P = len(pivots)
@@ -691,23 +751,16 @@ class HNSWIndex:
                 piv[P:] = pivots[0]
                 rows[P:] = rows[0]
 
-            new_rows = np.asarray(
-                G.arrange_links_batch(
-                    vecs,
-                    jnp.asarray(rows),
-                    jnp.asarray(piv),
-                    jnp.asarray(new_ids),
-                    cfg.dist,
-                    width,
-                )
+            out = G.arrange_links_batch(
+                vecs,
+                jnp.asarray(rows),
+                jnp.asarray(piv),
+                jnp.asarray(new_ids),
+                cfg.dist,
+                width,
             )
-            if level == 0:
-                self._write_links0(np.array(pivots), new_rows[:P])
-            else:
-                for idx, p in enumerate(pivots):
-                    rrow = ul.ensure_member(p)
-                    ul.links[rrow] = new_rows[idx]
-                ul.dirty = True
+            rounds.append((pivots, out))
+        flush()
 
     # ---- search ----
     def _descend_to_level0(self, q, q_cache, vecs_t, vcache):
