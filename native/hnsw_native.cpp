@@ -42,14 +42,19 @@ struct View {
   int dist;  // 0 = l2sqr, 1 = cosine
 };
 
-static inline float dot(const float* a, const float* b, Py_ssize_t d) {
+// fast-math scoped to the two distance kernels only: float reassociation
+// lets GCC vectorize the reduction (AVX-512 on this host, ~16x the scalar
+// chain); inputs are finite and the ~1-ulp reassociation error is far below
+// the quantization noise every caller already tolerates.
+__attribute__((optimize("fast-math", "tree-vectorize"))) static inline float
+dot(const float* a, const float* b, Py_ssize_t d) {
   float s = 0.f;
   for (Py_ssize_t i = 0; i < d; ++i) s += a[i] * b[i];
   return s;
 }
 
-static inline float distance(const View& v, const float* q, float q_cache,
-                             int32_t idx) {
+__attribute__((optimize("fast-math", "tree-vectorize"))) static inline float
+distance(const View& v, const float* q, float q_cache, int32_t idx) {
   const float* x = v.vecs + (Py_ssize_t)idx * v.dim;
   if (v.dist == 0) {
     float s = 0.f;
@@ -63,6 +68,14 @@ static inline float distance(const View& v, const float* q, float q_cache,
   float nx = std::sqrt(dot(x, x, v.dim));
   float denom = std::max(q_cache * nx, 1e-10f);
   return 1.f - d / denom;
+}
+
+static inline void prefetch_row(const View& v, int32_t idx) {
+  // touch the row head; the hardware prefetcher streams the rest
+  if (idx < 0) return;
+  const char* p = (const char*)(v.vecs + (Py_ssize_t)idx * v.dim);
+  __builtin_prefetch(p, 0, 1);
+  __builtin_prefetch(p + 256, 0, 1);
 }
 
 struct Cand {
@@ -124,6 +137,8 @@ static void search_level0(const View& v, const float* q, float q_cache,
       if (c.d > worst.d || (c.d == worst.d && c.idx > worst.idx)) break;
     }
     const int32_t* nbrs = v.links0 + (Py_ssize_t)c.idx * v.max_m0;
+    for (Py_ssize_t j = 0; j < v.max_m0; ++j)
+      if (nbrs[j] >= 0 && !visited[nbrs[j]]) prefetch_row(v, nbrs[j]);
     for (Py_ssize_t j = 0; j < v.max_m0; ++j) {
       int32_t nb = nbrs[j];
       if (nb < 0) continue;
