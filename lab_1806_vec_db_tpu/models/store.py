@@ -146,7 +146,13 @@ class VecStore:
         store.dist = dist
         store.dtype = np.dtype(np.float32)
         store._n = int(n)
-        store._cap = _round_cap(max(n, _MIN_CAP))
+        # static ingest: round capacity to the mirror-builder block (a
+        # 16384-multiple keeps every kernel tile alignment) instead of the
+        # next power of two — at n=1e6 the pow2 cap wastes 4.9% of every
+        # scan on zero rows.  Later growth re-rounds to pow2 as usual.
+        store._cap = (
+            -(-int(n) // 16384) * 16384 if n >= 65536 else _round_cap(max(n, _MIN_CAP))
+        )
         store._data = None  # lazy host mirror
         vecs = vecs.astype(jnp.float32)
         if store._cap != n:
@@ -352,7 +358,8 @@ class VecStore:
                 # device-born data: build the slab on-device in bounded row
                 # blocks (one full-set pad+reshape would transiently double
                 # the mirror; see the chunked-builder note above)
-                rows = min(_BLOCK_ROWS, self._cap)
+                rows = _BLOCK_ROWS if self._cap % _BLOCK_ROWS == 0 else 16384
+                rows = min(rows, self._cap)
                 slab = jnp.zeros((self._cap * sr, 128), jnp.float32)
                 for row0 in range(0, self._cap, rows):
                     slab = _slab_block_jit(vecs, slab, row0, sr, rows)
@@ -382,7 +389,8 @@ class VecStore:
         if self._dev_int8 is None and self._data is None:
             # device-born data: blocked on-device quantize (see note above)
             dim_pad = ((self.dim + 127) // 128) * 128
-            rows = min(_BLOCK_ROWS, self._cap)
+            rows = _BLOCK_ROWS if self._cap % _BLOCK_ROWS == 0 else 16384
+            rows = min(rows, self._cap)
             q8 = jnp.zeros((self._cap, dim_pad), jnp.int8)
             scale = jnp.ones((self._cap,), jnp.float32)
             for row0 in range(0, self._cap, rows):
