@@ -62,10 +62,11 @@ def make_dataset(n: int, dim: int, n_queries: int, seed: int = 0):
 def make_dataset_device(n: int, dim: int, n_queries: int, seed: int = 0):
     """Same clustered distribution as `make_dataset`, generated ON the TPU.
 
-    The chip sits behind a tunnel (~10 MB/s effective), so a host-generated
-    1M x 960 f32 set pays ~4 minutes of RNG on the single host core plus the
-    upload; device generation + `VecStore.from_device` ingest skips both.
-    Returns ((n, dim) f32 device array, (n_queries, dim) f32 host array).
+    A host-generated 1M x 960 f32 set pays ~4 minutes of RNG on the single
+    host core; device generation + `VecStore.from_device` ingest skips that
+    and the upload.  Returns ((n_pad, dim) f32 device array, (n_queries,
+    dim) f32 host array, n_pad) where n_pad >= n rounds n up to a whole
+    number of generation blocks (every row is a real draw).
     """
     import jax
     import jax.numpy as jnp
@@ -76,7 +77,7 @@ def make_dataset_device(n: int, dim: int, n_queries: int, seed: int = 0):
     kc, kq, kb = jax.random.split(key, 3)
     centers = jax.random.normal(kc, (n_clusters, dim), jnp.float32)
 
-    n_blocks = min(16, max(1, n // 4096)) or 1
+    n_blocks = min(16, max(1, n // 4096))
     rows = -(-n // n_blocks)  # ceil
     n_pad = rows * n_blocks
 

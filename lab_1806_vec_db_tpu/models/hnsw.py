@@ -693,6 +693,7 @@ class HNSWIndex:
         # so overlapping device compute with the serial downloads is worth
         # ~30% of build wall time.
         rounds = []  # (pivots, device new_rows)
+        dispatched: set[int] = set()  # pivots with un-flushed in-flight results
 
         def flush():
             for pivots, out in rounds:
@@ -705,6 +706,7 @@ class HNSWIndex:
                         ul.links[rrow] = new_rows[idx]
                     ul.dirty = True
             rounds.clear()
+            dispatched.clear()
 
         while pending:
             round_edges = {}
@@ -722,9 +724,10 @@ class HNSWIndex:
                     # exhausts HBM next to the four live mirrors
                     break
 
-            if pending and any(p in pending for p in round_edges):
-                # a pivot carries over to a later round: commit outstanding
-                # results so the dependent round reads fresh links
+            if any(p in dispatched for p in round_edges):
+                # this round re-touches a pivot whose previous round is
+                # still in flight: commit outstanding results first so the
+                # dependent round reads (and does not overwrite) them
                 flush()
 
             pivots = sorted(round_edges.keys())
@@ -760,6 +763,7 @@ class HNSWIndex:
                 width,
             )
             rounds.append((pivots, out))
+            dispatched.update(pivots)
         flush()
 
     # ---- search ----

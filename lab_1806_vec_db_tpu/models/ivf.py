@@ -162,8 +162,9 @@ class IVFIndex:
         """Cluster-sorted int8 mirror for the binned scan, built once.
 
         Rows are permuted so each posting list is one contiguous padded
-        segment of `lpad` rows; padded rows carry a +BIG dist-cache so they
-        lose every group-min by construction (no masking in the kernel).
+        segment of `lpad` rows; padded rows carry sentinel scale/cache
+        values so they sort last (l2sqr: +BIG cache; cosine: d pinned to
+        1.0 — see inline note) with no masking in the kernel.
 
         k-means lists are skewed (merged natural clusters can be ~5x the
         mean), so padding every list to the GLOBAL max would multiply memory
@@ -192,8 +193,19 @@ class IVFIndex:
             clamped = jnp.maximum(pp, 0)
             valid = pp >= 0
             q8_sorted = q8_all[clamped]
-            scale_sorted = jnp.where(valid, scales[clamped], 1.0)
-            cache_sorted = jnp.where(valid, cache[clamped], jnp.float32(_BIG))
+            if self.dist == "cosine":
+                # pads: scale 0 zeroes the cross term and cache 1 keeps the
+                # denominator sane -> d = 1.0 exactly.  That is a LOSING
+                # sentinel for any true neighbor at angle < 90 deg; rows
+                # whose winners are pads decode to perm -1 and are dropped
+                # at rerank, so pads never surface as results — they can
+                # only shadow same-group rows with cosine distance > 1.0,
+                # which are non-neighbors for top-k purposes.
+                scale_sorted = jnp.where(valid, scales[clamped], 0.0)
+                cache_sorted = jnp.where(valid, cache[clamped], 1.0)
+            else:
+                scale_sorted = jnp.where(valid, scales[clamped], 1.0)
+                cache_sorted = jnp.where(valid, cache[clamped], jnp.float32(_BIG))
             ov = None
             if ov_ids:
                 pov = jnp.asarray(np.concatenate(ov_ids).astype(np.int32))
@@ -224,13 +236,23 @@ class IVFIndex:
         q8s, scale_s, cache_s, perm_pad, lpad, overflow = self._device_sorted()
         centroids, _ = self._device()
         nlist = self.config.k
-        spl = lpad // PS._GS  # survivors per list (64 per 512-row tile)
+        spl = lpad // PS._GS  # survivors per list (_SPT=128 per 512-row tile)
+
+        n_probes = min(n_probes, nlist)  # probing more lists than exist = all
 
         B = q_dev.shape[0]
         B_pad = max(128, ((B + 127) // 128) * 128)
         qp = jnp.pad(q_dev.astype(jnp.float32), ((0, B_pad - B), (0, 0)))
         _, probe_ids = KM.find_n_nearest(qp, centroids, n_probes, self.dist)
-        bins, slots = BN.bin_queries(probe_ids, nlist, _QB)
+        if B_pad != B:
+            # pad queries must not consume real bin slots (at small B the
+            # zero-vector pads could fill a popular list's bin and evict
+            # real probes): route them to a sentinel list that is binned
+            # but never scanned
+            pad_row = jnp.arange(B_pad, dtype=jnp.int32) >= B
+            probe_ids = jnp.where(pad_row[:, None], jnp.int32(nlist), probe_ids)
+        bins, slots = BN.bin_queries(probe_ids, nlist + 1, _QB)
+        bins = bins[:nlist]  # drop the sentinel list's bin
 
         q_cache = D.dist_cache(qp, self.dist)
         q8, q_scale = quantize_rows_int8(qp)
@@ -254,6 +276,8 @@ class IVFIndex:
         )
         dropped = slots < 0
         rows = probe_ids * _QB + jnp.maximum(slots, 0)  # (B_pad, p)
+        rows = jnp.minimum(rows, nlist * _QB - 1)  # pad queries: clipped,
+        # their output rows are sliced off before returning
         cand_pk = pkq[rows.reshape(-1)].reshape(B_pad, n_probes * spl)
         big_bits = np.float32(3.0e38).view(np.int32).item()
         cand_pk = jnp.where(

@@ -29,7 +29,7 @@ def hnsw_knn_single(index, query: np.ndarray, k: int, ef: int):
     if _native is None or index.entry_point is None:
         return None
     query = np.ascontiguousarray(query, dtype=np.float32)
-    vecs = index.store._data
+    vecs = index.store._host()  # materializes device-born stores
     if vecs.dtype != np.float32:
         return None
     n = len(index.store)
@@ -54,10 +54,10 @@ def flat_knn_single(store, query: np.ndarray, k: int):
     """Serial native exact scan. Returns (ids, dists) lists or None."""
     if _native is None:
         return None
-    if store._data.dtype != np.float32:
+    if store._host().dtype != np.float32:
         return None
     query = np.ascontiguousarray(query, dtype=np.float32)
     ids, dists = _native.flat_knn(
-        store._data, query, len(store), int(k), DIST_CODE[store.dist]
+        store._host(), query, len(store), int(k), DIST_CODE[store.dist]
     )
     return ids, dists

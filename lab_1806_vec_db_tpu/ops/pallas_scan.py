@@ -499,7 +499,7 @@ _SPT = 128  # survivors per tile.  Unlike the full-scan kernel (1 per 128
 # list length ~4000 are ~0.05 (~1500: ~0.12).  The strided partition lets
 # the reduce run as 2 pairwise sublane-half mins (~1 VPU pass) instead of
 # 128 tiny reduces.
-_GS = _NB_BIN // _SPT  # rows per survivor group (8) -> 3 packed low bits
+_GS = _NB_BIN // _SPT  # rows per survivor group (4) -> 2 packed low bits
 
 
 def _scan_kernel_int8_binned(
@@ -520,9 +520,9 @@ def _scan_kernel_int8_binned(
     lose every min by construction) and padded query slots are simply never
     read back by the caller's regroup step.
 
-    Survivor s of the tile is the min over rows {s, s+SPT, ..., s+7*SPT}
-    (strided groups); the packed low 3 bits hold the row's level r // SPT,
-    so row-in-tile = level * SPT + s.
+    Survivor s of the tile is the min over rows {s, s+_SPT, ...,
+    s+(_GS-1)*_SPT} (strided groups); the packed low log2(_GS) bits hold
+    the row's level r // _SPT, so row-in-tile = level * _SPT + s.
     """
     NB = base_ref.shape[0]
     QB = qbT_ref.shape[2]
@@ -566,8 +566,8 @@ def scan_chunkmin_int8_binned(
 
     `Lpad` (= rows per list) must be a multiple of `_NB_BIN`.  Returns
     (nlist * Lpad/_GS, QB) int32 packed survivors; survivor row m of list l
-    decodes to sorted row l*Lpad + (m%_SPT within its tile) + low3*_SPT —
-    see `decode_binned_rows`.
+    decodes to sorted row l*Lpad + (m//_SPT)*_NB_BIN + (m%_SPT)
+    + low_bits*_SPT (the caller's regroup implements this).
     """
     nlist, dim, QB = qbT.shape
     total = base_i8.shape[0]

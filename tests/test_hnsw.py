@@ -71,3 +71,27 @@ def test_hnsw_batch_recall(gist_1000):
         [len(set(gt[i]) & set(got[i])) / 10 for i in range(len(queries))]
     )
     assert recall > 0.85, recall
+
+
+def test_reverse_arrange_tiny_round_caps(monkeypatch):
+    """Overflowing add-lists must apply ALL adds across rounds (a dropped
+    round silently degrades connectivity; regression for the flush-guard
+    bug where a pivot's later round overwrote its earlier one)."""
+    import numpy as np
+    from lab_1806_vec_db_tpu.models import hnsw as hnsw_mod
+    from lab_1806_vec_db_tpu.models import FlatIndex
+    from lab_1806_vec_db_tpu.utils.config import HNSWConfig
+
+    monkeypatch.setattr(hnsw_mod.HNSWIndex, "_REV_ADD_CAP", 2)
+    monkeypatch.setattr(hnsw_mod.HNSWIndex, "_REV_PIVOT_CAP", 3)
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((3000, 24)).astype(np.float32)
+    queries = rng.standard_normal((50, 24)).astype(np.float32)
+    index = hnsw_mod.HNSWIndex.build(
+        base, "l2sqr", HNSWConfig(ef_construction=60, M=8), seed=3
+    )
+    flat = FlatIndex.from_numpy(base, "l2sqr")
+    _, gt = flat.knn_batch(queries, 10, exact=True)
+    _, ids = index.knn_with_ef_batch(queries, 10, 80)
+    recall = np.mean([len(set(gt[q]) & set(ids[q])) / 10 for q in range(50)])
+    assert recall >= 0.9

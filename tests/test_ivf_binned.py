@@ -110,3 +110,23 @@ def test_binned_overflow_segment(monkeypatch):
     i = np.asarray(i)
     recall = np.mean([len(set(gt[q]) & set(i[q])) / 10 for q in range(len(queries))])
     assert recall >= 0.95
+
+
+def test_binned_small_batch_pads_dont_evict_probes():
+    """Zero-vector pad queries (B_pad-B of them) must not consume bin slots:
+    with B=33 (95 pads) every real query still reaches its probed lists."""
+    base, queries = _clustered(4000, 48, 33, seed=11, n_clusters=4)
+    index = IVFIndex.from_numpy(base, "l2sqr", IVFConfig(k=4), seed=1)
+    flat = FlatIndex.from_numpy(base, "l2sqr")
+    _, gt = flat.knn_batch(queries, 10, exact=True)
+    _, i = index._knn_device_binned(jnp.asarray(queries), 10, 4, interpret=True)
+    i = np.asarray(i)
+    recall = np.mean([len(set(gt[q]) & set(i[q])) / 10 for q in range(len(queries))])
+    assert recall >= 0.95
+
+
+def test_binned_n_probes_exceeds_nlist():
+    base, queries = _clustered(2000, 48, 16, seed=4, n_clusters=4)
+    index = IVFIndex.from_numpy(base, "l2sqr", IVFConfig(k=4), seed=1)
+    d, i = index._knn_device_binned(jnp.asarray(queries), 5, 8, interpret=True)
+    assert np.asarray(i).shape == (16, 5)

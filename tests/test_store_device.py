@@ -60,3 +60,13 @@ def test_chunked_mirror_builders(monkeypatch):
     rd = np.asarray(s_dev.device_rerank())
     rh = np.asarray(s_host.device_rerank())
     np.testing.assert_allclose(rd, rh, rtol=1e-6)
+
+
+def test_native_single_query_on_device_born_store():
+    """native.flat_knn_single must materialize the lazy host mirror."""
+    from lab_1806_vec_db_tpu.models import native
+
+    x = _data(400, 32, seed=5)
+    idx = FlatIndex.from_store(VecStore.from_device(jnp.asarray(x), "l2sqr"))
+    res = idx.knn(x[7], 3)  # routes through flat_knn_single when available
+    assert res[0].index == 7 and res[0].distance < 1e-6
