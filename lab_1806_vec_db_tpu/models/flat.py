@@ -100,6 +100,11 @@ class FlatIndex:
         n = len(self.store)
         if exact is None:
             exact = _SCAN_MODE == "exact" or n <= _EXACT_BELOW
+            if not exact and _SCAN_MODE in ("int8", "pca"):
+                # quantization self-test: datasets whose neighbor gaps are
+                # tiny relative to vector magnitudes defeat int8 ordering
+                # at ANY rerank depth; use the exact scan there
+                exact = not self.store.int8_reliable()
         vecs, cache = self.store.device()
         if exact:
             return T.knn_scan(q, vecs, cache, jnp.int32(n), k, self.dist)
@@ -121,7 +126,9 @@ class FlatIndex:
                     qp, p8, pscale, pcache, jnp.int32(n), r, self.dist
                 )
         elif _SCAN_MODE in ("int8", "pca"):  # pca degrades to int8 at small dim
-            base_i8, scales, cache = self.store.device_int8()
+            base_i8, scales, cache8, perm = self.store.device_int8()
+            cap8 = jnp.int32(base_i8.shape[0])  # validity lives IN the
+            # permuted mirror (sentinels), not in a positional bound
             if jax.default_backend() != "cpu":
                 # packed Pallas chunk-min: argmin folded into the distance
                 # bits, one sublane reduce per 128-row chunk (~25% faster
@@ -129,12 +136,13 @@ class FlatIndex:
                 from ..ops import pallas_scan as PS
 
                 _, cand = PS.scan_candidates_int8_packed(
-                    q, base_i8, scales, cache, jnp.int32(n), r, self.dist
+                    q, base_i8, scales, cache8, cap8, r, self.dist
                 )
             else:
                 _, cand = T.scan_candidates_int8(
-                    q, base_i8, scales, cache, jnp.int32(n), r, self.dist
+                    q, base_i8, scales, cache8, cap8, r, self.dist
                 )
+            cand = T.decode_perm(cand, perm, jnp.int32(n))
         else:
             scan_vecs, _ = self.store.device_traversal()
             _, cand = T.scan_candidates(q, scan_vecs, cache, jnp.int32(n), r, self.dist)

@@ -539,8 +539,9 @@ class HNSWIndex:
         from ..ops import distance as D
 
         r = min(efc, self.store.capacity)
-        if on_tpu and n_prev > 4 * r:
-            base_i8, scales, _ = self.store.device_int8()
+        if on_tpu and n_prev > 4 * r and self.store.int8_reliable():
+            base_i8, scales, cache8, perm8 = self.store.device_int8()
+            cap8 = jnp.int32(base_i8.shape[0])
             try:
                 # packed Pallas kernel, query-sliced to its proven
                 # <=1024-query VMEM envelope: streams the prefix ONCE per
@@ -553,8 +554,8 @@ class HNSWIndex:
 
                 parts = [
                     PS.scan_candidates_int8_packed(
-                        q[s : s + 1024], base_i8, scales, vcache,
-                        jnp.int32(n_prev), r, cfg.dist,
+                        q[s : s + 1024], base_i8, scales, cache8,
+                        cap8, r, cfg.dist,
                     )
                     for s in range(0, q.shape[0], 1024)
                 ]
@@ -567,8 +568,13 @@ class HNSWIndex:
                 # remote-compiler rejection (intermittent HTTP 500s): fall
                 # back to the plain XLA formulation
                 bd0, bi0 = T.scan_candidates_int8(
-                    q, base_i8, scales, vcache, jnp.int32(n_prev), r, cfg.dist
+                    q, base_i8, scales, cache8, cap8, r, cfg.dist
                 )
+            # decode permuted-mirror ids; keep only the frozen prefix
+            # (mirror validity covers [0, n_now) which includes this very
+            # chunk — same-chunk hits are handled exactly as peers)
+            bi0 = T.decode_perm(bi0, perm8, jnp.int32(n_prev))
+            bd0 = jnp.where(bi0 >= 0, bd0, jnp.inf)
             # no exact rerank here: the pool only needs approximate ORDER —
             # _select_links recomputes exact f32 distances for the top
             # HEURISTIC_CAND candidates before the selection heuristic, so

@@ -188,9 +188,13 @@ class IVFIndex:
                 perm_pad[l * lpad : l * lpad + kept] = self.posting[l, :kept]
                 if c > lpad:
                     ov_ids.append(self.posting[l, lpad:c])
-            q8_all, scales, cache = self.store.device_int8()
+            q8_all, scales, cache = self.store.device_int8()[:3]
+            # the int8 mirror is scan-permuted; translate original ids to
+            # mirror rows on the host before gathering.  Gathered valid rows
+            # carry true scale/cache (sentinels only sit on invalid rows).
+            inv = self.store._scan_inv
             pp = jnp.asarray(perm_pad)
-            clamped = jnp.maximum(pp, 0)
+            clamped = jnp.asarray(inv[np.maximum(perm_pad, 0)])
             valid = pp >= 0
             q8_sorted = q8_all[clamped]
             if self.dist == "cosine":
@@ -208,8 +212,9 @@ class IVFIndex:
                 cache_sorted = jnp.where(valid, cache[clamped], jnp.float32(_BIG))
             ov = None
             if ov_ids:
-                pov = jnp.asarray(np.concatenate(ov_ids).astype(np.int32))
-                ov = (q8_all[pov], scales[pov], cache[pov], pov)
+                pov_h = np.concatenate(ov_ids).astype(np.int32)
+                rows_m = jnp.asarray(inv[pov_h])
+                ov = (q8_all[rows_m], scales[rows_m], cache[rows_m], jnp.asarray(pov_h))
             import jax
 
             jax.block_until_ready(q8_sorted)

@@ -32,9 +32,14 @@ from functools import partial as _partial
     static_argnames=("dist", "flags", "sr"),
     donate_argnums=(0, 1, 2, 3, 4, 5),
 )
-def _sync_rows_jit(dev, cache, bf16, slab, int8pair, projtriple, rows, vals, projmat, projmu, dist, flags, sr):
+def _sync_rows_jit(dev, cache, bf16, slab, int8triple, projtriple, rows, vals, rows_scan, valid8, projmat, projmu, dist, flags, sr):
     """Scatter `vals` into row `rows` of every live device mirror in ONE
-    dispatch, with donated (in-place) buffers."""
+    dispatch, with donated (in-place) buffers.
+
+    The int8 scan mirror is PERMUTED (see device_int8): its scatter rows are
+    `rows_scan` = scan_inv[rows], and rows no longer valid (`valid8` False,
+    e.g. the vacated tail of a swap_remove) are written as losing sentinels
+    rather than data."""
     has_bf16, has_rerank, has_int8, has_proj = flags
     dev = dev.at[rows].set(vals)
     cache = cache.at[rows].set(D.dist_cache(vals, dist))
@@ -49,13 +54,24 @@ def _sync_rows_jit(dev, cache, bf16, slab, int8pair, projtriple, rows, vals, pro
         slab = slab.at[slab_rows].set(v.reshape(-1, 128))
     if has_int8:
         from ..ops import topk as T
+        from ..ops.pallas_scan import _BIG
 
-        q8, sc = int8pair
+        q8, sc, cp = int8triple
         v8 = vals
         if q8.shape[1] != v8.shape[1]:
             v8 = jnp.pad(v8, ((0, 0), (0, q8.shape[1] - v8.shape[1])))
         q8v, scv = T.quantize_rows_int8(v8)
-        int8pair = (q8.at[rows].set(q8v), sc.at[rows].set(scv))
+        cpv = D.dist_cache(vals, dist)
+        if dist == "cosine":
+            scv = jnp.where(valid8, scv, 0.0)
+            cpv = jnp.where(valid8, cpv, 1.0)
+        else:
+            cpv = jnp.where(valid8, cpv, jnp.float32(_BIG))
+        int8triple = (
+            q8.at[rows_scan].set(q8v),
+            sc.at[rows_scan].set(scv),
+            cp.at[rows_scan].set(cpv),
+        )
     if has_proj:
         from ..ops import project as PJ
 
@@ -66,7 +82,7 @@ def _sync_rows_jit(dev, cache, bf16, slab, int8pair, projtriple, rows, vals, pro
             psc.at[rows].set(pscv),
             pca.at[rows].set(pcav),
         )
-    return dev, cache, bf16, slab, int8pair, projtriple
+    return dev, cache, bf16, slab, int8triple, projtriple
 
 
 def _round_cap(n: int) -> int:
@@ -128,7 +144,10 @@ class VecStore:
         self._dev_cache: jax.Array | None = None
         self._dev_bf16: jax.Array | None = None
         self._dev_rerank: jax.Array | None = None
-        self._dev_int8: tuple[jax.Array, jax.Array] | None = None
+        self._dev_int8: tuple | None = None
+        self._scan_perm: np.ndarray | None = None  # fixed scan shuffle
+        self._scan_inv: np.ndarray | None = None
+        self._int8_ok: bool | None = None  # quantization self-test verdict
         # (d_red, proj (dim, d_red), mu (dim,), (q8p, scale_p, cache_p))
         self._dev_proj: tuple | None = None
         self._dirty_rows: set[int] = set()
@@ -163,6 +182,9 @@ class VecStore:
         store._dev_bf16 = None
         store._dev_rerank = None
         store._dev_int8 = None
+        store._scan_perm = None
+        store._scan_inv = None
+        store._int8_ok = None
         store._dev_proj = None
         store._dirty_rows = set()
         store._dev_full_dirty = False
@@ -273,6 +295,7 @@ class VecStore:
             self._dev_rerank = None
             self._dev_int8 = None
             self._dev_proj = None
+            self._int8_ok = None
             self._dev_full_dirty = False
             self._dirty_rows.clear()
             # barrier: let upload staging free before derived copies build —
@@ -304,15 +327,23 @@ class VecStore:
                 if flags[3]
                 else (dummy(), dummy())
             )
-            dev, cache, bf16, slab, int8pair, projtriple = _sync_rows_jit(
+            if flags[2]:
+                rows_scan = jnp.asarray(self._scan_inv[rows])
+                valid8 = jnp.asarray(rows < self._n)
+            else:
+                rows_scan = jnp.asarray(rows)
+                valid8 = jnp.asarray(rows < self._n)
+            dev, cache, bf16, slab, int8triple, projtriple = _sync_rows_jit(
                 self._dev,
                 self._dev_cache,
                 self._dev_bf16 if flags[0] else dummy(),
                 self._dev_rerank if flags[1] else dummy(),
-                self._dev_int8 if flags[2] else (dummy(), dummy()),
+                self._dev_int8[:3] if flags[2] else (dummy(), dummy(), dummy()),
                 self._dev_proj[3] if flags[3] else (dummy(), dummy(), dummy()),
                 jnp.asarray(rows),
                 jnp.asarray(vals),
+                rows_scan,
+                valid8,
                 proj_mat,
                 proj_mu,
                 self.dist,
@@ -325,7 +356,7 @@ class VecStore:
             if flags[1]:
                 self._dev_rerank = slab
             if flags[2]:
-                self._dev_int8 = int8pair
+                self._dev_int8 = (*int8triple, self._dev_int8[3])
             if flags[3]:
                 self._dev_proj = (self._dev_proj[0], proj_mat, proj_mu, projtriple)
             self._dirty_rows.clear()
@@ -377,48 +408,82 @@ class VecStore:
         return self._dev_rerank
 
     def device_int8(self) -> tuple[jax.Array, jax.Array, jax.Array]:
-        """Return ((cap, dim) int8 per-row-quantized vectors, (cap,) f32
-        scales, (cap,) f32 exact dist_cache), synced and cached.
+        """Return the SCAN-PERMUTED int8 mirror: ((cap, dim_pad) int8 rows,
+        (cap,) f32 scales, (cap,) f32 dist-cache, (cap,) int32 perm), all
+        synced and cached; mirror row i holds original row perm[i].
+
+        Why permuted: the packed chunk-min scan keeps one survivor per 128
+        consecutive MIRROR rows.  Real ingests often arrive cluster-sorted
+        (documents grouped by topic), which would concentrate a query's
+        true neighbors into a handful of chunks and collapse stage-1
+        recall.  A fixed pseudo-random permutation (seeded by capacity)
+        scatters any storage order; callers decode candidate ids through
+        `perm` before the exact rerank (see topk.decode_perm).
+
+        Validity is carried IN the mirror (no positional n_valid masking is
+        possible post-permutation): invalid rows hold a losing sentinel —
+        l2sqr: +BIG cache; cosine: scale 0 + cache 1 (d pinned to 1.0).
+        Callers must still drop decoded ids >= len(store).
 
         The int8 copy feeds stage-1 candidate selection on the int8 MXU
         (2x bf16 rate, half the HBM traffic); results are always reranked
         against the exact f32 view."""
-        from ..ops import topk as T
+        from ..ops.pallas_scan import _BIG
 
         vecs, cache = self.device()
-        if self._dev_int8 is None and self._data is None:
-            # device-born data: blocked on-device quantize (see note above)
-            dim_pad = ((self.dim + 127) // 128) * 128
-            rows = _BLOCK_ROWS if self._cap % _BLOCK_ROWS == 0 else 16384
-            rows = min(rows, self._cap)
-            q8 = jnp.zeros((self._cap, dim_pad), jnp.int8)
-            scale = jnp.ones((self._cap,), jnp.float32)
-            for row0 in range(0, self._cap, rows):
-                q8, scale = _int8_block_jit(vecs, q8, scale, row0, dim_pad, rows)
-            self._dev_int8 = (q8, scale)
-            jax.block_until_ready(self._dev_int8)
         if self._dev_int8 is None:
-            # full-lane columns: the int8 MXU runs ~1.45x faster on
-            # 128-multiple dims (e.g. 960 -> 1024 measured 137 -> 208 TOPS);
-            # zero columns are dot-transparent and leave per-row scales
-            # unchanged.  Quantize on the HOST: a device-side pad+quantize
-            # materializes ~3x the f32 mirror in transients and OOMs at
-            # N=1e6 x 960 alongside the other mirrors.
+            if self._scan_perm is None or len(self._scan_perm) != self._cap:
+                rng = np.random.default_rng(self._cap ^ 0x5EED)
+                self._scan_perm = rng.permutation(self._cap).astype(np.int32)
+                self._scan_inv = np.empty(self._cap, np.int32)
+                self._scan_inv[self._scan_perm] = np.arange(self._cap, dtype=np.int32)
+            perm = self._scan_perm
             dim_pad = ((self.dim + 127) // 128) * 128
-            x = self._data[: self._n].astype(np.float32)
-            amax = np.abs(x).max(axis=1) if self._n else np.zeros((0,), np.float32)
-            scale = np.ones((self._cap,), np.float32)
-            scale[: self._n] = np.where(amax > 0, amax / 127.0, 1.0)
-            q8 = np.zeros((self._cap, dim_pad), np.int8)
-            if self._n:
-                np.clip(
-                    np.round(x / scale[: self._n, None]), -127, 127,
-                    out=x,
-                )
-                q8[: self._n, : self.dim] = x.astype(np.int8)
-            self._dev_int8 = (jnp.asarray(q8), jnp.asarray(scale))
+            if self._data is None:
+                # device-born data: blocked on-device quantize (see note
+                # above), then one device gather into permuted order
+                rows = _BLOCK_ROWS if self._cap % _BLOCK_ROWS == 0 else 16384
+                rows = min(rows, self._cap)
+                q8u = jnp.zeros((self._cap, dim_pad), jnp.int8)
+                scale_u = jnp.ones((self._cap,), jnp.float32)
+                for row0 in range(0, self._cap, rows):
+                    q8u, scale_u = _int8_block_jit(vecs, q8u, scale_u, row0, dim_pad, rows)
+                perm_dev = jnp.asarray(perm)
+                q8 = q8u[perm_dev]
+                scale = scale_u[perm_dev]
+                del q8u, scale_u
+            else:
+                # full-lane columns: the int8 MXU runs ~1.45x faster on
+                # 128-multiple dims (e.g. 960 -> 1024 measured 137 -> 208
+                # TOPS); zero columns are dot-transparent and leave per-row
+                # scales unchanged.  Quantize on the HOST: a device-side
+                # pad+quantize materializes ~3x the f32 mirror in
+                # transients and OOMs at N=1e6 x 960 alongside the other
+                # mirrors.
+                x = self._data[: self._n].astype(np.float32)
+                amax = np.abs(x).max(axis=1) if self._n else np.zeros((0,), np.float32)
+                scale_u = np.ones((self._cap,), np.float32)
+                scale_u[: self._n] = np.where(amax > 0, amax / 127.0, 1.0)
+                q8u = np.zeros((self._cap, dim_pad), np.int8)
+                if self._n:
+                    np.clip(
+                        np.round(x / scale_u[: self._n, None]), -127, 127,
+                        out=x,
+                    )
+                    q8u[: self._n, : self.dim] = x.astype(np.int8)
+                q8 = jnp.asarray(q8u[perm])
+                scale = jnp.asarray(scale_u[perm])
+                perm_dev = jnp.asarray(perm)
+            valid = jnp.asarray(perm < self._n)
+            cache_p = cache[perm_dev]
+            if self.dist == "cosine":
+                scale = jnp.where(valid, scale, 0.0)
+                cache_p = jnp.where(valid, cache_p, 1.0)
+            else:
+                cache_p = jnp.where(valid, cache_p, jnp.float32(_BIG))
+            self._dev_int8 = (q8, scale, cache_p, perm_dev)
             jax.block_until_ready(self._dev_int8)
-        return self._dev_int8[0], self._dev_int8[1], cache
+        return self._dev_int8
 
     def device_proj_int8(self, d_red: int):
         """Return (proj (dim, d_red) f32, mu (dim,) f32, q8p (cap, d_red)
@@ -443,6 +508,37 @@ class VecStore:
             self._dev_proj = (d_red, proj, mu, triple)
         _, proj, mu, (q8p, scale_p, cache_p) = self._dev_proj
         return proj, mu, q8p, scale_p, cache_p
+
+    def int8_reliable(self) -> bool:
+        """Whether per-row int8 quantization preserves neighbor ORDER on
+        this data (ops/topk.int8_ordering_selftest), cached per upload.
+
+        False in the pathological regime (inter-point gaps tiny relative to
+        point magnitudes); callers fall back to exact/f32 scans there.
+        """
+        if self._int8_ok is None:
+            if self._n < 64:
+                self._int8_ok = True  # tiny sets use the exact path anyway
+            else:
+                from ..ops import topk as T
+
+                vecs, _ = self.device()
+                score = float(
+                    T.int8_ordering_selftest(
+                        vecs, jnp.int32(self._n), jax.random.PRNGKey(0), self.dist
+                    )
+                )
+                self._int8_ok = score >= 0.95
+                if not self._int8_ok:
+                    import sys
+
+                    print(
+                        f"[vecdb-tpu] int8 ordering self-test scored {score:.2f}"
+                        " (<0.95): neighbor gaps are small relative to vector"
+                        " magnitudes, falling back to exact f32 scans",
+                        file=sys.stderr,
+                    )
+        return self._int8_ok
 
     # ---- conversions (vec_set.rs:142-163 parity) ----
     def to_type(self, dtype) -> "VecStore":

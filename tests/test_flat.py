@@ -142,28 +142,103 @@ def test_device_int8_lane_padding(dist):
     dim = 60  # pads to 128
     vecs = rng.standard_normal((600, dim)).astype(np.float32)
     index = FlatIndex.from_numpy(vecs, dist)
-    b8, scales, cache = index.store.device_int8()
+    b8, scales, cache, perm = index.store.device_int8()
+    perm_h = np.asarray(perm)
+    inv = index.store._scan_inv
     assert b8.shape[1] == 128
-    # scales identical to an unpadded per-row quantization
+    # the mirror is scan-permuted: row inv[i] holds original row i
     q8_ref, sc_ref = T.quantize_rows_int8(jnp.asarray(vecs))
-    np.testing.assert_allclose(np.asarray(scales)[:600], np.asarray(sc_ref), rtol=1e-6)
-    np.testing.assert_array_equal(np.asarray(b8)[:600, :dim], np.asarray(q8_ref))
-    assert (np.asarray(b8)[:600, dim:] == 0).all()
+    rows = inv[:600]
+    np.testing.assert_allclose(np.asarray(scales)[rows], np.asarray(sc_ref), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(b8)[rows][:, :dim], np.asarray(q8_ref))
+    assert (np.asarray(b8)[rows][:, dim:] == 0).all()
 
     queries = vecs[:16]
+    cap = b8.shape[0]
     bd, bi = T.scan_candidates_int8(
-        jnp.asarray(queries), b8, scales, cache, jnp.int32(600), 10, dist
+        jnp.asarray(queries), b8, scales, cache, jnp.int32(cap), 10, dist
     )
+    bi = np.asarray(T.decode_perm(bi, perm, jnp.int32(600)))
     # self-query: row itself must be among the candidates
-    bi = np.asarray(bi)
     assert all(i in bi[i] for i in range(16))
+    # decoded ids are all valid rows
+    assert ((bi >= -1) & (bi < 600)).all()
 
     # incremental sync keeps the padded width and scans still work
     index.store.push(vecs[0] * 2.0)
-    b8b, scalesb, cacheb = index.store.device_int8()
+    b8b, scalesb, cacheb, permb = index.store.device_int8()
     assert b8b.shape[1] == 128
-    assert (np.asarray(b8b)[600, dim:] == 0).all()
+    assert (np.asarray(b8b)[inv[600]][dim:] == 0).all()
     bd2, bi2 = T.scan_candidates_int8(
-        jnp.asarray(vecs[:1] * 2.0), b8b, scalesb, cacheb, jnp.int32(601), 5, dist
+        jnp.asarray(vecs[:1] * 2.0), b8b, scalesb, cacheb, jnp.int32(cap), 5, dist
     )
-    assert 600 in np.asarray(bi2)[0]
+    bi2 = np.asarray(T.decode_perm(bi2, permb, jnp.int32(601)))
+    assert 600 in bi2[0]
+
+
+def test_dense_cluster_fallback_to_exact():
+    """Datasets whose neighbor gaps are tiny relative to vector magnitudes
+    (dense clusters far from the origin) defeat int8 ordering at ANY rerank
+    depth; the store's quantization self-test must detect this and route
+    the search to the exact f32 scan."""
+    import jax.numpy as jnp
+    from lab_1806_vec_db_tpu.models import flat as flat_mod
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 24, 1024, 48
+    centers = 6.0 * rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    # contiguous clusters: rows [c*per, (c+1)*per) all belong to cluster c
+    base = np.repeat(centers, per, axis=0) + 0.5 * rng.standard_normal(
+        (n_clusters * per, dim)
+    ).astype(np.float32)
+    queries = centers[rng.integers(0, n_clusters, 32)] + 0.5 * rng.standard_normal(
+        (32, dim)
+    ).astype(np.float32)
+
+    index = FlatIndex.from_numpy(base, "l2sqr")
+    _, gt = index.knn_batch(queries, 10, exact=True)
+    # force the two-stage int8 path (below _EXACT_BELOW it would use exact)
+    old = flat_mod._EXACT_BELOW
+    flat_mod._EXACT_BELOW = 0
+    try:
+        _, ids = index.knn_batch(queries, 10)
+    finally:
+        flat_mod._EXACT_BELOW = old
+    recall = np.mean([len(set(gt[q]) & set(ids[q])) / 10 for q in range(32)])
+    assert recall >= 0.95
+
+
+def test_sorted_ingest_scan_permutation():
+    """Cluster-SORTED storage order must not degrade the packed chunk-min
+    scan: the int8 mirror's fixed permutation de-clusters storage, otherwise
+    the kernel keeps one survivor per 128 contiguous rows and a query's
+    co-located true neighbors annihilate each other."""
+    import jax.numpy as jnp
+    from lab_1806_vec_db_tpu.ops import pallas_scan as PS
+    from lab_1806_vec_db_tpu.ops import topk as T
+
+    rng = np.random.default_rng(3)
+    # healthy gaps (centers near origin, noise comparable): int8 is fine,
+    # the failure mode under test is purely the chunk-min survivor cap
+    n_clusters, per, dim = 8, 1024, 64
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    base = np.repeat(centers, per, axis=0) + 0.35 * rng.standard_normal(
+        (n_clusters * per, dim)
+    ).astype(np.float32)
+    queries = centers[rng.integers(0, n_clusters, 16)] + 0.35 * rng.standard_normal(
+        (16, dim)
+    ).astype(np.float32)
+
+    index = FlatIndex.from_numpy(base, "l2sqr")
+    assert index.store.int8_reliable()
+    _, gt = index.knn_batch(queries, 10, exact=True)
+
+    b8, sc, c8, perm = index.store.device_int8()
+    cap = b8.shape[0]
+    _, cand = PS.scan_candidates_int8_packed(
+        jnp.asarray(queries), b8, sc, c8, jnp.int32(cap), 40, "l2sqr",
+        interpret=True,
+    )
+    cand = np.asarray(T.decode_perm(cand, perm, jnp.int32(len(base))))
+    surv = np.mean([len(set(gt[q]) & set(cand[q])) / 10 for q in range(16)])
+    assert surv >= 0.9  # true top-10 survive the chunk-min + top-r

@@ -52,8 +52,9 @@ def test_chunked_mirror_builders(monkeypatch):
     x = _data(120, 40, seed=3)
     s_dev = VecStore.from_device(jnp.asarray(x), "l2sqr")
     s_host = VecStore.from_numpy(x, "l2sqr")
-    q8d, scd, cd = s_dev.device_int8()
-    q8h, sch, ch = s_host.device_int8()
+    q8d, scd, cd, pd = s_dev.device_int8()
+    q8h, sch, ch, ph = s_host.device_int8()
+    np.testing.assert_array_equal(np.asarray(pd), np.asarray(ph))  # same cap -> same perm
     np.testing.assert_array_equal(np.asarray(q8d), np.asarray(q8h))
     np.testing.assert_allclose(np.asarray(scd), np.asarray(sch), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(cd), np.asarray(ch), rtol=1e-5)
