@@ -17,8 +17,9 @@ src/distance/mod.rs:71-95).
 Accuracy: distances accumulate in f32 on the MXU (bf16 inputs), strictly
 better than the previous bf16 distance matrix.  The chunk-min reduction is
 exact-by-construction for the #1 neighbor; for top-r it assumes at most one
-true candidate per 128 consecutive rows — callers that store clustered data
-contiguously should shuffle storage order (see FlatIndex scan permutation).
+true candidate per 128 consecutive MIRROR rows — the int8 mirror therefore
+stores rows under a fixed random permutation (store.device_int8) so any
+storage order de-clusters; ids decode via topk.decode_perm.
 """
 
 from __future__ import annotations
