@@ -158,16 +158,25 @@ def adc_scan(
     q_norms: jax.Array,
     k_out: int,
     dist: str,
-    block: int = 131072,
+    block: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Full ADC scan + top-k: the `FlatIndex::knn_pq` hot loop
     (reference: src/index_algorithm/flat_index.rs:84-104).
 
     lookup: (B, m, k); codes: (N_pad, m) uint8; q_norms: (B,) query norms
     (cosine) or zeros. Returns (B, k_out) dists/ids.
+
+    The tile gather materializes (B, block, m) f32, so the block size must
+    scale inversely with B*m (at B=1000, m=240, N=1e6 a fixed 131072 block
+    meant a 126 GB intermediate).  ADC is a LUT-gather workload — the
+    TPU-native quantized scan is the int8 packed kernel (pallas_scan); this
+    path exists for reference parity and 8x-smaller-than-int8 memory.
     """
     B, m, k = lookup.shape
     n_pad = codes.shape[0]
+    if block is None:
+        # ~512 MB gather transient cap
+        block = max(1024, (1 << 27) // max(B * m, 1))
     lut_flat = lookup.reshape(B, m * k)
     offs = jnp.arange(m, dtype=jnp.int32) * k
     cb_flat = cb_sqnorm.reshape(-1)
