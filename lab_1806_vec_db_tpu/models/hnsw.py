@@ -496,23 +496,34 @@ class HNSWIndex:
         All intermediates stay on device; only the selected links (c x m
         int32) ever cross the host boundary.
         """
-        import jax
-
-        spans = BUILD_SPANS
-
-        def _sync(x):
-            if spans is not None:
-                jax.block_until_ready(x)
-            return x
-
-        cfg = self.config
         c = len(ids)
         c_pad = _pad_ladder(c)
         entry_point = self.entry_point
         n_prev = int(ids.min())  # ids are appended: rows [0, n_prev) are the
         # frozen prefix the chunk searches against
 
+        # keep the in-flight chunk OUT of the int8 scan mirror: otherwise
+        # same-chunk rows (nearest of all for cluster-sorted ingests) win
+        # survivor groups and dilute the frozen-prefix candidate pool before
+        # the decode_perm(n_prev) filter can act
+        self.store.set_scan_bound(n_prev)
+        try:
+            self._insert_ids_inner(ids, levels, n_prev, c, c_pad, entry_point)
+        finally:
+            self.store.set_scan_bound(None)
+            self.store.mark_rows_dirty(ids)
+
+    def _insert_ids_inner(self, ids, levels, n_prev, c, c_pad, entry_point):
         import contextlib
+        import jax
+
+        cfg = self.config
+        spans = BUILD_SPANS
+
+        def _sync(x):
+            if spans is not None:
+                jax.block_until_ready(x)
+            return x
 
         def _span(name):
             return spans.span(name) if spans is not None else contextlib.nullcontext()

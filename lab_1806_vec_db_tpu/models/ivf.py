@@ -162,9 +162,9 @@ class IVFIndex:
         """Cluster-sorted int8 mirror for the binned scan, built once.
 
         Rows are permuted so each posting list is one contiguous padded
-        segment of `lpad` rows; padded rows carry sentinel scale/cache
-        values so they sort last (l2sqr: +BIG cache; cosine: d pinned to
-        1.0 — see inline note) with no masking in the kernel.
+        segment of `lpad` rows; padded rows carry the losing sentinel
+        (zero cross factor + BIG additive bias, both metrics) with no
+        masking in the kernel.
 
         k-means lists are skewed (merged natural clusters can be ~5x the
         mean), so padding every list to the GLOBAL max would multiply memory
@@ -197,19 +197,10 @@ class IVFIndex:
             clamped = jnp.asarray(inv[np.maximum(perm_pad, 0)])
             valid = pp >= 0
             q8_sorted = q8_all[clamped]
-            if self.dist == "cosine":
-                # pads: scale 0 zeroes the cross term and cache 1 keeps the
-                # denominator sane -> d = 1.0 exactly.  That is a LOSING
-                # sentinel for any true neighbor at angle < 90 deg; rows
-                # whose winners are pads decode to perm -1 and are dropped
-                # at rerank, so pads never surface as results — they can
-                # only shadow same-group rows with cosine distance > 1.0,
-                # which are non-neighbors for top-k purposes.
-                scale_sorted = jnp.where(valid, scales[clamped], 0.0)
-                cache_sorted = jnp.where(valid, cache[clamped], 1.0)
-            else:
-                scale_sorted = jnp.where(valid, scales[clamped], 1.0)
-                cache_sorted = jnp.where(valid, cache[clamped], jnp.float32(_BIG))
+            # pads: zero cross factor + BIG additive bias — a losing
+            # sentinel for BOTH metrics under the unified channel formula
+            scale_sorted = jnp.where(valid, scales[clamped], 0.0)
+            cache_sorted = jnp.where(valid, cache[clamped], jnp.float32(_BIG))
             ov = None
             if ov_ids:
                 pov_h = np.concatenate(ov_ids).astype(np.int32)
@@ -263,7 +254,7 @@ class IVFIndex:
         q8, q_scale = quantize_rows_int8(qp)
         if q8s.shape[1] != q8.shape[1]:
             q8 = jnp.pad(q8, ((0, 0), (0, q8s.shape[1] - q8.shape[1])))
-        qs2 = q_scale * (2.0 if self.dist == "l2sqr" else 1.0)
+        qs2, q_cache = PS.query_channels(q_scale, q_cache, self.dist)
 
         bc = jnp.maximum(bins, 0)  # (nlist, QB); pad slots read query 0, never used
         qbT = jnp.transpose(q8[bc], (0, 2, 1))  # (nlist, dim, QB) int8
@@ -348,10 +339,15 @@ class IVFIndex:
         q_dev = jnp.asarray(queries)
         import jax
 
-        if jax.default_backend() != "cpu" and len(queries) >= 32:
+        if (
+            jax.default_backend() != "cpu"
+            and len(queries) >= 32
+            and self.store.int8_reliable()
+        ):
             # batched binned path: each probed list is scanned ONCE against
             # the block of queries probing it (per-query posting gathers
-            # re-read shared rows B times over)
+            # re-read shared rows B times over).  Gated on the int8
+            # ordering self-test like the Flat/HNSW int8 paths.
             d, i = self._knn_device_binned(q_dev, k, n_probes)
             return np.asarray(d), np.asarray(i)
         centroids, posting = self._device()

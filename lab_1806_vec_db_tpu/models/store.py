@@ -62,11 +62,11 @@ def _sync_rows_jit(dev, cache, bf16, slab, int8triple, projtriple, rows, vals, r
             v8 = jnp.pad(v8, ((0, 0), (0, q8.shape[1] - v8.shape[1])))
         q8v, scv = T.quantize_rows_int8(v8)
         cpv = D.dist_cache(vals, dist)
-        if dist == "cosine":
-            scv = jnp.where(valid8, scv, 0.0)
-            cpv = jnp.where(valid8, cpv, 1.0)
-        else:
-            cpv = jnp.where(valid8, cpv, jnp.float32(_BIG))
+        if dist == "cosine":  # unified channels: scale s/|x|, cache 0
+            scv = scv / jnp.maximum(cpv, 1e-20)
+            cpv = jnp.zeros_like(cpv)
+        scv = jnp.where(valid8, scv, 0.0)
+        cpv = jnp.where(valid8, cpv, jnp.float32(_BIG))
         int8triple = (
             q8.at[rows_scan].set(q8v),
             sc.at[rows_scan].set(scv),
@@ -147,7 +147,10 @@ class VecStore:
         self._dev_int8: tuple | None = None
         self._scan_perm: np.ndarray | None = None  # fixed scan shuffle
         self._scan_inv: np.ndarray | None = None
-        self._int8_ok: bool | None = None  # quantization self-test verdict
+        self._int8_ok: tuple[bool, int] | None = None  # (verdict, n at test)
+        # rows >= this bound are written as INVALID into the int8 scan
+        # mirror (HNSW bulk build excludes the in-flight chunk this way)
+        self._scan_bound: int | None = None
         # (d_red, proj (dim, d_red), mu (dim,), (q8p, scale_p, cache_p))
         self._dev_proj: tuple | None = None
         self._dirty_rows: set[int] = set()
@@ -185,11 +188,27 @@ class VecStore:
         store._scan_perm = None
         store._scan_inv = None
         store._int8_ok = None
+        store._scan_bound = None
         store._dev_proj = None
         store._dirty_rows = set()
         store._dev_full_dirty = False
         jax.block_until_ready(store._dev_cache)
         return store
+
+    def set_scan_bound(self, bound: int | None) -> None:
+        """Treat rows >= `bound` as INVALID in the int8 scan mirror (their
+        sync writes the losing sentinel).  Used by HNSW bulk build to keep
+        the in-flight chunk out of its own candidate scan; clear with None
+        and re-mark the affected rows dirty to re-validate them."""
+        self._scan_bound = bound
+
+    def mark_rows_dirty(self, rows) -> None:
+        for r in rows:
+            self._mark_dirty(int(r))
+
+    def _scan_valid_n(self) -> int:
+        b = self._scan_bound
+        return self._n if b is None else min(self._n, b)
 
     def _host(self) -> np.ndarray:
         """The (cap, dim) host array, materializing it from the device
@@ -329,10 +348,9 @@ class VecStore:
             )
             if flags[2]:
                 rows_scan = jnp.asarray(self._scan_inv[rows])
-                valid8 = jnp.asarray(rows < self._n)
             else:
                 rows_scan = jnp.asarray(rows)
-                valid8 = jnp.asarray(rows < self._n)
+            valid8 = jnp.asarray(rows < self._scan_valid_n())
             dev, cache, bf16, slab, int8triple, projtriple = _sync_rows_jit(
                 self._dev,
                 self._dev_cache,
@@ -407,7 +425,7 @@ class VecStore:
             jax.block_until_ready(self._dev_rerank)
         return self._dev_rerank
 
-    def device_int8(self) -> tuple[jax.Array, jax.Array, jax.Array]:
+    def device_int8(self) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
         """Return the SCAN-PERMUTED int8 mirror: ((cap, dim_pad) int8 rows,
         (cap,) f32 scales, (cap,) f32 dist-cache, (cap,) int32 perm), all
         synced and cached; mirror row i holds original row perm[i].
@@ -420,10 +438,13 @@ class VecStore:
         scatters any storage order; callers decode candidate ids through
         `perm` before the exact rerank (see topk.decode_perm).
 
-        Validity is carried IN the mirror (no positional n_valid masking is
-        possible post-permutation): invalid rows hold a losing sentinel —
-        l2sqr: +BIG cache; cosine: scale 0 + cache 1 (d pinned to 1.0).
-        Callers must still drop decoded ids >= len(store).
+        Channel convention (unified kernel formula, see
+        pallas_scan._scan_kernel_int8_packed): scale = s_x (l2sqr) or
+        s_x/|x| (cosine); cache = |x|^2 (l2sqr) or 0 (cosine).  Validity is
+        carried IN the mirror (no positional n_valid masking is possible
+        post-permutation): invalid rows hold scale 0 + cache +BIG — a
+        losing additive sentinel for BOTH metrics.  Callers must still drop
+        decoded ids >= len(store).
 
         The int8 copy feeds stage-1 candidate selection on the int8 MXU
         (2x bf16 rate, half the HBM traffic); results are always reranked
@@ -474,13 +495,13 @@ class VecStore:
                 q8 = jnp.asarray(q8u[perm])
                 scale = jnp.asarray(scale_u[perm])
                 perm_dev = jnp.asarray(perm)
-            valid = jnp.asarray(perm < self._n)
-            cache_p = cache[perm_dev]
+            valid = jnp.asarray(perm < self._scan_valid_n())
+            cache_p = cache[perm_dev]  # |x|^2 (l2sqr) / |x| (cosine)
             if self.dist == "cosine":
-                scale = jnp.where(valid, scale, 0.0)
-                cache_p = jnp.where(valid, cache_p, 1.0)
-            else:
-                cache_p = jnp.where(valid, cache_p, jnp.float32(_BIG))
+                scale = scale / jnp.maximum(cache_p, 1e-20)
+                cache_p = jnp.zeros_like(cache_p)
+            scale = jnp.where(valid, scale, 0.0)
+            cache_p = jnp.where(valid, cache_p, jnp.float32(_BIG))
             self._dev_int8 = (q8, scale, cache_p, perm_dev)
             jax.block_until_ready(self._dev_int8)
         return self._dev_int8
@@ -511,34 +532,40 @@ class VecStore:
 
     def int8_reliable(self) -> bool:
         """Whether per-row int8 quantization preserves neighbor ORDER on
-        this data (ops/topk.int8_ordering_selftest), cached per upload.
+        this data (ops/topk.int8_ordering_selftest).
 
         False in the pathological regime (inter-point gaps tiny relative to
         point magnitudes); callers fall back to exact/f32 scans there.
+        The verdict is re-evaluated once the row count drifts >= 25% from
+        the tested size, so incrementally-ingested regime shifts are caught
+        without paying a device round trip on every write.
         """
-        if self._int8_ok is None:
-            if self._n < 64:
-                self._int8_ok = True  # tiny sets use the exact path anyway
-            else:
-                from ..ops import topk as T
+        if self._int8_ok is not None:
+            verdict, n_at = self._int8_ok
+            if n_at > 0 and abs(self._n - n_at) <= n_at // 4:
+                return verdict
+        if self._n < 64:
+            self._int8_ok = (True, max(self._n, 1))  # tiny sets: exact path anyway
+        else:
+            from ..ops import topk as T
 
-                vecs, _ = self.device()
-                score = float(
-                    T.int8_ordering_selftest(
-                        vecs, jnp.int32(self._n), jax.random.PRNGKey(0), self.dist
-                    )
+            vecs, _ = self.device()
+            score = float(
+                T.int8_ordering_selftest(
+                    vecs, jnp.int32(self._n), jax.random.PRNGKey(0), self.dist
                 )
-                self._int8_ok = score >= 0.95
-                if not self._int8_ok:
-                    import sys
+            )
+            self._int8_ok = (score >= 0.95, self._n)
+            if not self._int8_ok[0]:
+                import sys
 
-                    print(
-                        f"[vecdb-tpu] int8 ordering self-test scored {score:.2f}"
-                        " (<0.95): neighbor gaps are small relative to vector"
-                        " magnitudes, falling back to exact f32 scans",
-                        file=sys.stderr,
-                    )
-        return self._int8_ok
+                print(
+                    f"[vecdb-tpu] int8 ordering self-test scored {score:.2f}"
+                    " (<0.95): neighbor gaps are small relative to vector"
+                    " magnitudes, falling back to exact f32 scans",
+                    file=sys.stderr,
+                )
+        return self._int8_ok[0]
 
     # ---- conversions (vec_set.rs:142-163 parity) ----
     def to_type(self, dtype) -> "VecStore":

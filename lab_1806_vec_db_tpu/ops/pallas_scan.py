@@ -346,6 +346,17 @@ def scan_chunkmin_int8_t(
 _BIG = 3.0e38  # finite sentinel: keeps packed bits non-NaN (plain float: jnp consts cannot be captured by kernels)
 
 
+def query_channels(q_scale: jax.Array, q_cache: jax.Array, dist: str):
+    """Query-side (qs2, qc) for the unified kernel formula
+    d = cache_x + qc - dots * (scale_x * qs2) — see _scan_kernel_int8_packed.
+    q_cache is D.dist_cache(q, dist): |q|^2 for l2sqr, |q| for cosine."""
+    q_scale = q_scale.astype(jnp.float32)
+    q_cache = q_cache.astype(jnp.float32)
+    if dist == "l2sqr":
+        return 2.0 * q_scale, q_cache
+    return q_scale / jnp.maximum(q_cache, 1e-20), jnp.ones_like(q_cache)
+
+
 def _tiles_for(dim: int) -> tuple[int, int]:
     """(NB, CB) grid/inner tile rows for the packed int8 scan, VMEM-bounded.
 
@@ -361,10 +372,10 @@ def _tiles_for(dim: int) -> tuple[int, int]:
 def _scan_kernel_int8_packed(
     nvalid_ref,  # SMEM (1, 1) int32
     qT_ref,  # VMEM (dim, B) int8 — resident across all grid steps
-    qs2_ref,  # VMEM (1, B) f32: 2 * query dequant scale (l2sqr) / scale (cos)
-    qc_ref,  # VMEM (1, B) f32 query dist-cache
-    scale_ref,  # VMEM (NB, 1) f32 base dequant scales tile
-    cache_ref,  # VMEM (NB, 1) f32 base dist-cache tile
+    qs2_ref,  # VMEM (1, B) f32 query cross-term factor (see CHANNELS below)
+    qc_ref,  # VMEM (1, B) f32 query additive term
+    scale_ref,  # VMEM (NB, 1) f32 base cross-term factors tile
+    cache_ref,  # VMEM (NB, 1) f32 base additive terms tile
     base_ref,  # VMEM (NB, dim) int8 base tile
     out_ref,  # VMEM (NB/CHUNK, B) int32: packed (f32 dist bits | sublane idx)
     *,
@@ -380,6 +391,15 @@ def _scan_kernel_int8_packed(
     is ordered by distance; callers may even bitcast the packed array to f32
     and run `approx_min_k` on it directly.  Validity masking is gated on the
     grid boundary so interior steps pay zero masking cost.
+
+    CHANNELS — one distance formula for BOTH metrics:
+        d = cache_x + qc_q - dots * (scale_x * qs2_q)
+    l2sqr:  cache=|x|^2, qc=|q|^2, scale=s_x, qs2=2*s_q
+    cosine: cache=0,     qc=1,     scale=s_x/|x|, qs2=s_q/|q|
+    (1 - cos = 1 - dot/(|x||q|); the norms fold into the cross factors, so
+    the cache channel is a free ADDITIVE BIAS: rows carrying +BIG there lose
+    every min for both metrics — the sentinel mechanism permuted mirrors
+    rely on, with no per-element division in the epilogue.)
     """
     i = pl.program_id(0)
     NB = base_ref.shape[0]
@@ -403,12 +423,7 @@ def _scan_kernel_int8_packed(
             preferred_element_type=jnp.int32,
         )  # (CB, B) int32 on the MXU
         dots_f = dots.astype(jnp.float32)
-        if dist == "l2sqr":
-            # d = (|x|^2 + |q|^2) - dots * (2 s_x s_q)
-            d = (cache_c + qc) - dots_f * (scale_c * qs2)
-        else:  # cosine: cache rows hold |x|, qc holds |q|
-            denom = jnp.maximum(cache_c * qc, 1e-10)
-            d = 1.0 - (dots_f * (scale_c * qs2)) / denom
+        d = (cache_c + qc) - dots_f * (scale_c * qs2)
 
         # boundary-only validity masking: interior grid steps skip the
         # iota/compare/select entirely
@@ -461,7 +476,8 @@ def scan_chunkmin_int8_packed(
     G = n_pad // NB
     SB = NB // _CHUNK
 
-    qs2 = q_scale.astype(jnp.float32) * (2.0 if dist == "l2sqr" else 1.0)
+    qs2 = q_scale.astype(jnp.float32)  # caller supplies the full factor
+    # (query_channels: 2*s_q for l2sqr, s_q/|q| for cosine)
     kernel = functools.partial(_scan_kernel_int8_packed, dist=dist, cb=CB)
     return pl.pallas_call(
         kernel,
@@ -505,8 +521,8 @@ _GS = _NB_BIN // _SPT  # rows per survivor group (4) -> 2 packed low bits
 
 def _scan_kernel_int8_binned(
     qbT_ref,  # VMEM (1, dim, QB) int8 — this list's binned queries, transposed
-    qs2_ref,  # VMEM (1, 1, QB) f32: 2 * query scale (l2sqr) / scale (cos)
-    qc_ref,  # VMEM (1, 1, QB) f32 query dist-cache
+    qs2_ref,  # VMEM (1, 1, QB) f32 query cross-term factors (query_channels)
+    qc_ref,  # VMEM (1, 1, QB) f32 query additive terms
     scale_ref,  # VMEM (NB, 1) f32 sorted base dequant scales tile
     cache_ref,  # VMEM (NB, 1) f32 sorted base dist-cache tile (+BIG on pads)
     base_ref,  # VMEM (NB, dim) int8 sorted base tile
@@ -537,11 +553,8 @@ def _scan_kernel_int8_binned(
         preferred_element_type=jnp.int32,
     )  # (NB, QB) int32 on the MXU
     dots_f = dots.astype(jnp.float32)
-    if dist == "l2sqr":
-        d = (cache_ref[:] + qc) - dots_f * (scale_ref[:] * qs2)
-    else:
-        denom = jnp.maximum(cache_ref[:] * qc, 1e-10)
-        d = 1.0 - (dots_f * (scale_ref[:] * qs2)) / denom
+    # unified channel formula (see _scan_kernel_int8_packed CHANNELS note)
+    d = (cache_ref[:] + qc) - dots_f * (scale_ref[:] * qs2)
     lvl = jax.lax.broadcasted_iota(jnp.int32, (NB, QB), 0) // _SPT  # 0..GS-1
     bits = pltpu.bitcast(d, jnp.int32)
     m = (bits & jnp.int32(~(_GS - 1))) | lvl
@@ -641,8 +654,9 @@ def scan_candidates_int8_packed(
         # base columns are zero-padded to a full-lane multiple (store
         # device_int8); match the query width — zeros are dot-transparent
         q8 = jnp.pad(q8, ((0, 0), (0, base_i8.shape[1] - q8.shape[1])))
+    qs2, qc = query_channels(q_scale, q_cache, dist)
     packed = scan_chunkmin_int8_packed(
-        q8, q_scale, q_cache, base_i8, base_scale, base_cache,
+        q8, qs2, qc, base_i8, base_scale, base_cache,
         jnp.int32(n_valid), dist, interpret=interpret,
     ).T  # (B_pad, S)
     S = packed.shape[1]

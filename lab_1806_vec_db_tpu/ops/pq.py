@@ -175,8 +175,8 @@ def adc_scan(
     B, m, k = lookup.shape
     n_pad = codes.shape[0]
     if block is None:
-        # ~512 MB gather transient cap
-        block = max(1024, (1 << 27) // max(B * m, 1))
+        # ~512 MB gather transient cap (floor 128 so huge B*m stays bounded)
+        block = max(128, (1 << 27) // max(B * m, 1))
     lut_flat = lookup.reshape(B, m * k)
     offs = jnp.arange(m, dtype=jnp.int32) * k
     cb_flat = cb_sqnorm.reshape(-1)

@@ -76,8 +76,8 @@ def project_quantize(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Project rows and quantize to the stage-1 int8 mirror format.
 
-    Returns ((rows, d_red) int8, (rows,) f32 scales, (rows,) f32 dist-cache
-    of the PROJECTED rows — |xp|^2 for l2sqr, |xp| for cosine).  Zero (padded)
+    Returns ((rows, d_red) int8, (rows,) f32 cross-factors, (rows,) f32
+    additive terms) in the unified scan-channel convention.  Zero (padded)
     rows project to -mu@P; they are masked out by n_valid downstream, and
     their cache/scale values are harmless.
     """
@@ -87,4 +87,9 @@ def project_quantize(
     xp = project(x, proj, mu)
     q8, scale = quantize_rows_int8(xp)
     cache = D.dist_cache(xp, dist)
+    if dist == "cosine":
+        # unified scan channels (pallas_scan._scan_kernel_int8_packed):
+        # fold the norm into the cross factor, cache becomes additive 0
+        scale = scale / jnp.maximum(cache, 1e-20)
+        cache = jnp.zeros_like(cache)
     return q8, scale, cache

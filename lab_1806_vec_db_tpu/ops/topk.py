@@ -272,8 +272,8 @@ def quantize_rows_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 def scan_candidates_int8(
     queries: jax.Array,  # (B, dim) f32
     base_i8: jax.Array,  # (N_pad, dim) int8 per-row quantized
-    base_scale: jax.Array,  # (N_pad,) f32 dequant scales
-    base_cache: jax.Array,  # (N_pad,) f32 exact dist cache (|x|^2 or |x|)
+    base_scale: jax.Array,  # (N_pad,) f32 cross-term factors (s_x or s_x/|x|)
+    base_cache: jax.Array,  # (N_pad,) f32 additive terms (|x|^2 / 0 / +BIG)
     n_valid: jax.Array,
     r: int,
     dist: str,
@@ -304,14 +304,14 @@ def scan_candidates_int8(
     # keep every (B, N) intermediate bf16: the epilogue fuses into the
     # top-k read, and f32 here doubles the HBM round trip for selection-grade
     # values (the exact rerank fixes final distances anyway)
+    from ..ops.pallas_scan import query_channels
+
+    qs2, qc = query_channels(q_scale, q_cache, dist)
     dots_f = dots.astype(jnp.bfloat16) * (
-        q_scale[:, None] * base_scale[None, :]
+        qs2[:, None] * base_scale[None, :]
     ).astype(jnp.bfloat16)
-    if dist == "l2sqr":
-        d = (q_cache[:, None] + base_cache[None, :]).astype(jnp.bfloat16) - 2.0 * dots_f
-    else:
-        denom = jnp.maximum(q_cache[:, None] * base_cache[None, :], 1e-10)
-        d = 1.0 - dots_f / denom.astype(jnp.bfloat16)
+    # unified channel formula (pallas_scan._scan_kernel_int8_packed)
+    d = (qc[:, None] + base_cache[None, :]).astype(jnp.bfloat16) - dots_f
     ids = jax.lax.broadcasted_iota(jnp.int32, (B, n_pad), 1)
     d = jnp.where(ids < n_valid, d, jnp.inf)
 

@@ -149,7 +149,10 @@ def test_device_int8_lane_padding(dist):
     # the mirror is scan-permuted: row inv[i] holds original row i
     q8_ref, sc_ref = T.quantize_rows_int8(jnp.asarray(vecs))
     rows = inv[:600]
-    np.testing.assert_allclose(np.asarray(scales)[rows], np.asarray(sc_ref), rtol=1e-6)
+    sc_exp = np.asarray(sc_ref)
+    if dist == "cosine":  # unified channels fold the norm into the factor
+        sc_exp = sc_exp / np.maximum(np.linalg.norm(vecs, axis=1), 1e-20)
+    np.testing.assert_allclose(np.asarray(scales)[rows], sc_exp, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(b8)[rows][:, :dim], np.asarray(q8_ref))
     assert (np.asarray(b8)[rows][:, dim:] == 0).all()
 
@@ -242,3 +245,36 @@ def test_sorted_ingest_scan_permutation():
     cand = np.asarray(T.decode_perm(cand, perm, jnp.int32(len(base))))
     surv = np.mean([len(set(gt[q]) & set(cand[q])) / 10 for q in range(16)])
     assert surv >= 0.9  # true top-10 survive the chunk-min + top-r
+
+
+def test_cosine_obtuse_query_with_sentinels():
+    """A cosine query roughly OPPOSITE the data (all true distances > 1.0)
+    must still return the true neighbors: the permuted mirror's invalid-row
+    sentinels must lose to real rows across the whole [0, 2] cosine range
+    (regression: a d=1.0 sentinel once outranked every obtuse neighbor)."""
+    import jax.numpy as jnp
+    from lab_1806_vec_db_tpu.models import flat as flat_mod
+
+    rng = np.random.default_rng(11)
+    dim = 48
+    center = rng.standard_normal(dim).astype(np.float32)
+    center /= np.linalg.norm(center)
+    base = (center[None, :] + 0.05 * rng.standard_normal((9000, dim))).astype(
+        np.float32
+    )
+    queries = (-center[None, :] + 0.05 * rng.standard_normal((8, dim))).astype(
+        np.float32
+    )
+    index = FlatIndex.from_numpy(base, "cosine")
+    d_gt, gt = index.knn_batch(queries, 10, exact=True)
+    assert (d_gt[np.isfinite(d_gt)] > 1.0).all()  # genuinely obtuse regime
+
+    old = flat_mod._EXACT_BELOW
+    flat_mod._EXACT_BELOW = 0
+    try:
+        d, ids = index.knn_batch(queries, 10)
+    finally:
+        flat_mod._EXACT_BELOW = old
+    assert (np.asarray(ids) >= 0).all()  # results exist (no all-sentinel wipeout)
+    recall = np.mean([len(set(gt[q]) & set(ids[q])) / 10 for q in range(8)])
+    assert recall >= 0.9

@@ -114,16 +114,28 @@ def test_scan_dist_int8_matches_xla(dist):
     base_d = jnp.asarray(base)
     cache = D.dist_cache(base_d, dist)
     q8, sc = T.quantize_rows_int8(base_d)
+    if dist == "cosine":  # XLA path uses the unified channel convention
+        ch_scale = sc / jnp.maximum(cache, 1e-20)
+        ch_cache = jnp.zeros_like(cache)
+    else:
+        ch_scale, ch_cache = sc, cache
     bd1, bi1 = T.scan_candidates_int8(
-        jnp.asarray(qs), q8, sc, cache, jnp.int32(N), r, dist
+        jnp.asarray(qs), q8, ch_scale, ch_cache, jnp.int32(N), r, dist
     )
+    # the legacy q-resident kernel keeps the raw (scale, |x|) contract
     bd2, bi2 = PS.scan_candidates_int8_pallas(
         jnp.asarray(qs), q8, sc, cache, jnp.int32(N), r, dist, interpret=True
     )
     np.testing.assert_allclose(np.asarray(bd1), np.asarray(bd2), rtol=2e-2, atol=1e-3)
-    # ids agree wherever the bf16 distances are not tied with a neighbor
+    # ids agree wherever the bf16 distances are not NEAR-tied with a
+    # neighbor (the two paths round the cosine epilogue differently —
+    # folded-norm multiply vs division — so ranks may swap within the
+    # selection-grade tolerance)
     bd1n, bi1n, bi2n = np.asarray(bd1), np.asarray(bi1), np.asarray(bi2)
-    interior = (bd1n != np.roll(bd1n, 1, axis=1)) & (bd1n != np.roll(bd1n, -1, axis=1))
+    tol = 2e-2 * np.abs(bd1n) + 1e-3
+    interior = (np.abs(bd1n - np.roll(bd1n, 1, axis=1)) > tol) & (
+        np.abs(bd1n - np.roll(bd1n, -1, axis=1)) > tol
+    )
     interior[:, [0, -1]] = False
     assert (bi1n == bi2n)[interior].all()
 
@@ -142,8 +154,14 @@ def test_scan_packed_matches_oracle(dist):
     cache = D.dist_cache(jnp.asarray(base), dist)
     q8, q_scale = T.quantize_rows_int8(jnp.asarray(qs))
     qc = D.dist_cache(jnp.asarray(qs), dist)
+    # base channels in the unified convention (store.device_int8 does this)
+    if dist == "cosine":
+        ch_scale = scales / jnp.maximum(cache, 1e-20)
+        ch_cache = jnp.zeros_like(cache)
+    else:
+        ch_scale, ch_cache = scales, cache
     bd, bi = PS.scan_candidates_int8_packed(
-        jnp.asarray(qs), base_i8, scales, cache, jnp.int32(N), r, dist,
+        jnp.asarray(qs), base_i8, ch_scale, ch_cache, jnp.int32(N), r, dist,
         interpret=True,
     )
     bd, bi = np.asarray(bd), np.asarray(bi)
