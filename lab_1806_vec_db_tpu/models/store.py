@@ -32,7 +32,7 @@ from functools import partial as _partial
     static_argnames=("dist", "flags", "sr"),
     donate_argnums=(0, 1, 2, 3, 4, 5),
 )
-def _sync_rows_jit(dev, cache, bf16, slab, int8triple, projtriple, rows, vals, rows_scan, valid8, projmat, projmu, dist, flags, sr):
+def _sync_rows_jit(dev, cache, bf16, slab, int8triple, projtriple, rows, vals, rows_scan, valid8, validp, projmat, projmu, dist, flags, sr):
     """Scatter `vals` into row `rows` of every live device mirror in ONE
     dispatch, with donated (in-place) buffers.
 
@@ -74,9 +74,14 @@ def _sync_rows_jit(dev, cache, bf16, slab, int8triple, projtriple, rows, vals, r
         )
     if has_proj:
         from ..ops import project as PJ
+        from ..ops.pallas_scan import _BIG
 
         p8, psc, pca = projtriple
         p8v, pscv, pcav = PJ.project_quantize(vals, projmat, projmu, dist)
+        # invalid rows (vacated swap_remove tail) carry the losing additive
+        # sentinel: the packed scan kernel has no positional masking
+        pscv = jnp.where(validp, pscv, 0.0)
+        pcav = jnp.where(validp, pcav, jnp.float32(_BIG))
         projtriple = (
             p8.at[rows].set(p8v),
             psc.at[rows].set(pscv),
@@ -351,6 +356,7 @@ class VecStore:
             else:
                 rows_scan = jnp.asarray(rows)
             valid8 = jnp.asarray(rows < self._scan_valid_n())
+            validp = jnp.asarray(rows < self._n)
             dev, cache, bf16, slab, int8triple, projtriple = _sync_rows_jit(
                 self._dev,
                 self._dev_cache,
@@ -362,6 +368,7 @@ class VecStore:
                 jnp.asarray(vals),
                 rows_scan,
                 valid8,
+                validp,
                 proj_mat,
                 proj_mu,
                 self.dist,
@@ -524,7 +531,17 @@ class VecStore:
             proj_h, mu_h = PJ.pca_fit(vecs, self._n, d_red, self.dist)
             proj = jnp.asarray(proj_h)
             mu = jnp.asarray(mu_h)
-            triple = PJ.project_quantize(vecs, proj, mu, self.dist)
+            q8p, scale_p, cache_p = PJ.project_quantize(vecs, proj, mu, self.dist)
+            # rows beyond n carry the losing sentinel (the packed scan
+            # kernel has no positional masking — validity is cache-borne)
+            from ..ops.pallas_scan import _BIG
+
+            validp = jnp.arange(self._cap) < self._n
+            triple = (
+                q8p,
+                jnp.where(validp, scale_p, 0.0),
+                jnp.where(validp, cache_p, jnp.float32(_BIG)),
+            )
             jax.block_until_ready(triple)
             self._dev_proj = (d_red, proj, mu, triple)
         _, proj, mu, (q8p, scale_p, cache_p) = self._dev_proj

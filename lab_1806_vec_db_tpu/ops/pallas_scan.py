@@ -362,35 +362,50 @@ def _tiles_for(dim: int) -> tuple[int, int]:
 
     Measured on v5e at N=1e6, B=1024: full-lane dims are worth ~40% (dim
     960 -> padded 1024: 137 -> 189 TOPS at this tile shape; store.device_int8
-    pads).  Larger NB measures ~10% faster on the bare-matmul floor but the
-    full epilogue at NB=4096 crashes the TPU compiler (any CB), so the shape
-    is pinned to the proven envelope.
+    pads).  NB=4096 crashes the TPU compiler (any CB, with or without the
+    epilogue's masking), so the shape is pinned to the proven envelope.
+    CB=NB=2048 (one MXU call per grid step) measured 15.6 ms vs 19.9 ms for
+    the old CB=512 + `lax.cond` boundary masking at N=1e6/B=1024 — the cond
+    alone cost 3.4 ms (validity now rides the cache-channel sentinels
+    exclusively), the full-tile halving min tree another ~1 ms.
     """
-    return 2048, 512
+    return 2048, 2048
 
 
 def _scan_kernel_int8_packed(
-    nvalid_ref,  # SMEM (1, 1) int32
     qT_ref,  # VMEM (dim, B) int8 — resident across all grid steps
     qs2_ref,  # VMEM (1, B) f32 query cross-term factor (see CHANNELS below)
     qc_ref,  # VMEM (1, B) f32 query additive term
     scale_ref,  # VMEM (NB, 1) f32 base cross-term factors tile
     cache_ref,  # VMEM (NB, 1) f32 base additive terms tile
     base_ref,  # VMEM (NB, dim) int8 base tile
-    out_ref,  # VMEM (NB/CHUNK, B) int32: packed (f32 dist bits | sublane idx)
+    out_ref,  # VMEM (NB/CHUNK, B) int32: packed (f32 dist bits | group level)
     *,
     dist: str,
     cb: int,
 ):
-    """Packed chunk-min: one sortable int32 per (128-row chunk, query).
+    """Packed group-min: one sortable int32 per (128-row group, query).
 
-    The f32 distance's low 7 mantissa bits are replaced by the row-in-chunk
-    index, so a SINGLE sublane min-reduce yields both the (16-mantissa-bit)
-    min distance and its argmin — no separate compare/select argmin chain.
-    Positive-f32 bit patterns sort identically as int32, so the packed value
-    is ordered by distance; callers may even bitcast the packed array to f32
-    and run `approx_min_k` on it directly.  Validity masking is gated on the
-    grid boundary so interior steps pay zero masking cost.
+    The f32 distance's low 7 mantissa bits are replaced by the row's level
+    within its STRIDED group (see below), so a min-reduce yields both the
+    (16-mantissa-bit) min distance and its argmin — no separate
+    compare/select argmin chain.  Positive-f32 bit patterns sort identically
+    as int32, so the packed value is ordered by distance; callers may even
+    bitcast the packed array to f32 and run `approx_min_k` on it directly.
+
+    Survivor groups are STRIDED, not consecutive: with SB = CB/128 survivors
+    per chunk, survivor s is the min over rows {s, s+SB, s+2*SB, ...} and the
+    packed low bits hold level = row//SB (0..127).  Under the mirror's fixed
+    random permutation any 128-row partition is statistically identical, and
+    the strided layout lets the reduce run as a log2 halving chain of
+    full-tile `minimum` ops (m[:h] vs m[h:2h]) instead of per-segment sublane
+    reduces — measured ~1 ms cheaper per 1M rows at B=1024.
+
+    There is NO positional validity masking: invalid rows (beyond n, or
+    permutation holes) must carry +BIG in the cache channel — the sentinel
+    contract of store.device_int8; the wrapper pads its own NB-alignment
+    rows the same way.  (The old `lax.cond` boundary mask measured 3.4 ms
+    per 1M-row scan — Mosaic cannot pipeline across it.)
 
     CHANNELS — one distance formula for BOTH metrics:
         d = cache_x + qc_q - dots * (scale_x * qs2_q)
@@ -398,22 +413,20 @@ def _scan_kernel_int8_packed(
     cosine: cache=0,     qc=1,     scale=s_x/|x|, qs2=s_q/|q|
     (1 - cos = 1 - dot/(|x||q|); the norms fold into the cross factors, so
     the cache channel is a free ADDITIVE BIAS: rows carrying +BIG there lose
-    every min for both metrics — the sentinel mechanism permuted mirrors
-    rely on, with no per-element division in the epilogue.)
+    every min for both metrics, with no per-element division in the
+    epilogue.)
     """
-    i = pl.program_id(0)
     NB = base_ref.shape[0]
     B = qT_ref.shape[1]
-    nvalid = nvalid_ref[0, 0]
     qs2 = qs2_ref[:]  # (1, B)
     qc = qc_ref[:]
     CB = cb
+    SB = CB // _CHUNK
 
-    # loop-invariant row-in-chunk bits: same (CB, B) tile for every chunk
-    sub = jax.lax.broadcasted_iota(jnp.int32, (CB, B), 0) & (_CHUNK - 1)
+    # loop-invariant level bits: same (CB, B) tile for every chunk
+    lvl = jax.lax.broadcasted_iota(jnp.int32, (CB, B), 0) // SB
 
     for c in range(NB // CB):
-        row0 = i * NB + c * CB
         scale_c = scale_ref[c * CB : (c + 1) * CB, :]  # (CB, 1)
         cache_c = cache_ref[c * CB : (c + 1) * CB, :]
         dots = jax.lax.dot_general(
@@ -425,29 +438,21 @@ def _scan_kernel_int8_packed(
         dots_f = dots.astype(jnp.float32)
         d = (cache_c + qc) - dots_f * (scale_c * qs2)
 
-        # boundary-only validity masking: interior grid steps skip the
-        # iota/compare/select entirely
-        def _mask(x):
-            row = jax.lax.broadcasted_iota(jnp.int32, (CB, B), 0) + row0
-            return jnp.where(row < nvalid, x, jnp.float32(_BIG))
-
-        d = jax.lax.cond(row0 + CB > nvalid, _mask, lambda x: x, d)
-
-        # pack: drop 7 mantissa bits, insert row-in-chunk.  No clamping:
-        # inputs are finite so d cannot be NaN/inf, and slightly-negative d
-        # (rounding of a true-zero distance) bitcasts to a negative int32
-        # that still sorts FIRST under the int min — i.e. near-zero
-        # distances win, which is the right stage-1 outcome; the exact
-        # rerank restores true distances.  Saves two VPU passes per tile.
+        # pack: drop 7 mantissa bits, insert the strided-group level.  No
+        # clamping: inputs are finite so d cannot be NaN/inf, and
+        # slightly-negative d (rounding of a true-zero distance) bitcasts to
+        # a negative int32 that still sorts FIRST under the int min — i.e.
+        # near-zero distances win, which is the right stage-1 outcome; the
+        # exact rerank restores true distances.
         bits = pltpu.bitcast(d, jnp.int32)
-        packed = (bits & jnp.int32(~(_CHUNK - 1))) | sub
+        m = (bits & jnp.int32(~(_CHUNK - 1))) | lvl
 
-        mins = []
-        for s in range(CB // _CHUNK):
-            seg = packed[s * _CHUNK : (s + 1) * _CHUNK, :]  # (128, B)
-            mins.append(jnp.min(seg, axis=0))  # single sublane reduce
-        o0 = c * (CB // _CHUNK)
-        out_ref[o0 : o0 + CB // _CHUNK, :] = jnp.stack(mins, axis=0)
+        # halving min chain: full-rate elementwise tiles all the way down
+        h = CB // 2
+        while h >= SB:
+            m = jnp.minimum(m[:h, :], m[h : 2 * h, :])
+            h //= 2
+        out_ref[c * SB : (c + 1) * SB, :] = m
 
 
 @functools.partial(jax.jit, static_argnames=("dist", "interpret"))
@@ -463,8 +468,14 @@ def scan_chunkmin_int8_packed(
     interpret: bool = False,
 ) -> jax.Array:
     """Packed-survivor int8 scan.  Returns (N_pad/128, B) int32 where each
-    value packs (f32 distance bits & ~127) | row-in-chunk.  Decode:
-    id = chunk*128 + (v & 127); dist = bitcast(v & ~127) (16-mantissa-bit)."""
+    value packs (f32 distance bits & ~127) | strided-group level.  Survivor
+    column j (after the caller's transpose) covers chunk j//SB of the base,
+    slot s = j % SB; decode: id = (j//SB)*CB + (v & 127)*SB + s;
+    dist = bitcast(v & ~127) (16-mantissa-bit).
+
+    `n_valid` is NOT used for masking: validity must ride the cache channel
+    as +BIG sentinels (the store.device_int8 contract); NB-alignment padding
+    added here gets the same sentinel."""
     B, dim = q8.shape
     NB, CB = _tiles_for(dim)
     n_pad0 = base_i8.shape[0]
@@ -472,7 +483,9 @@ def scan_chunkmin_int8_packed(
     if n_pad != n_pad0:
         base_i8 = jnp.pad(base_i8, ((0, n_pad - n_pad0), (0, 0)))
         base_scale = jnp.pad(base_scale, (0, n_pad - n_pad0))
-        base_cache = jnp.pad(base_cache, (0, n_pad - n_pad0))
+        base_cache = jnp.pad(
+            base_cache, (0, n_pad - n_pad0), constant_values=_BIG
+        )
     G = n_pad // NB
     SB = NB // _CHUNK
 
@@ -483,7 +496,6 @@ def scan_chunkmin_int8_packed(
         kernel,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((dim, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -495,7 +507,6 @@ def scan_chunkmin_int8_packed(
         out_shape=jax.ShapeDtypeStruct((G * SB, B), jnp.int32),
         interpret=interpret,
     )(
-        jnp.reshape(n_valid.astype(jnp.int32), (1, 1)),
         q8.T,
         qs2[None, :],
         q_cache.astype(jnp.float32)[None, :],
@@ -660,8 +671,13 @@ def scan_candidates_int8_packed(
         jnp.int32(n_valid), dist, interpret=interpret,
     ).T  # (B_pad, S)
     S = packed.shape[1]
+    NB, _ = _tiles_for(base_i8.shape[1])
+    SB = NB // _CHUNK
     as_f32 = jax.lax.bitcast_convert_type(packed, jnp.float32)
-    chunk0 = jax.lax.broadcasted_iota(jnp.int32, packed.shape, 1) * _CHUNK
+    # survivor column j covers grid chunk j//SB, slot j%SB; the packed low
+    # 7 bits hold the strided-group level: id = chunk*NB + level*SB + slot
+    col = jax.lax.broadcasted_iota(jnp.int32, packed.shape, 1)
+    base0 = (col // SB) * NB + (col % SB)
 
     rr = min(r, S)
     if S > 4 * rr and not interpret:
@@ -669,10 +685,10 @@ def scan_candidates_int8_packed(
     else:
         _, pos = jax.lax.top_k(-as_f32, rr)
     pk = jnp.take_along_axis(packed, pos, axis=1)
-    c0 = jnp.take_along_axis(chunk0, pos, axis=1)
+    b0 = jnp.take_along_axis(base0, pos, axis=1)
 
     bd = jax.lax.bitcast_convert_type(pk & jnp.int32(~(_CHUNK - 1)), jnp.float32)
-    bi = c0 + (pk & (_CHUNK - 1))
+    bi = b0 + (pk & (_CHUNK - 1)) * SB
     bd, bi = bd[:B], bi[:B]
     if rr < r:
         bd = jnp.pad(bd, ((0, 0), (0, r - rr)), constant_values=jnp.inf)

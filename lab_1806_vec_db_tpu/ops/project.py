@@ -78,8 +78,10 @@ def project_quantize(
 
     Returns ((rows, d_red) int8, (rows,) f32 cross-factors, (rows,) f32
     additive terms) in the unified scan-channel convention.  Zero (padded)
-    rows project to -mu@P; they are masked out by n_valid downstream, and
-    their cache/scale values are harmless.
+    rows project to -mu@P and come back with real-looking channels: the
+    CALLER must overwrite invalid rows' cache with the +BIG losing sentinel
+    (the packed scan kernel has no positional masking — see
+    models/store.py device_proj_int8 / _sync_rows_jit).
     """
     from . import distance as D
     from .topk import quantize_rows_int8

@@ -173,13 +173,24 @@ def test_scan_packed_matches_oracle(dist):
     else:
         dm = 1.0 - dots / np.maximum(np.asarray(qc)[:, None] * np.asarray(cache)[None, :], 1e-10)
     dm = np.maximum(dm, 0.0)
-    # oracle chunk-min survivors then top-r
-    n_pad = ((N + 2047) // 2048) * 2048
+    # oracle group-min survivors then top-r.  Survivor groups are STRIDED
+    # within each NB-row grid chunk: survivor (g, s) = min over rows
+    # {g*NB + level*SB + s, level=0..127} (see _scan_kernel_int8_packed).
+    NB = PS._tiles_for(dim)[0]
+    SB = NB // 128
+    n_pad = ((N + NB - 1) // NB) * NB
+    G = n_pad // NB
     dmp = np.full((B, n_pad), np.float32(3e38), np.float32)
     dmp[:, :N] = dm
-    ch = dmp.reshape(B, n_pad // 128, 128)
-    cmin = ch.min(2)
-    cargmin = ch.argmin(2) + np.arange(n_pad // 128)[None] * 128
+    ch = dmp.reshape(B, G, 128, SB)  # axes: (query, chunk, level, slot)
+    cmin = ch.min(2).reshape(B, G * SB)
+    lvl = ch.argmin(2)  # (B, G, SB)
+    ids4 = (
+        np.arange(G)[None, :, None] * NB
+        + lvl * SB
+        + np.arange(SB)[None, None, :]
+    )
+    cargmin = ids4.reshape(B, G * SB)
     order = np.argsort(cmin, axis=1, kind="stable")[:, :r]
     oi = np.take_along_axis(cargmin, order, axis=1)
     od = np.take_along_axis(cmin, order, axis=1)
@@ -196,15 +207,22 @@ def test_scan_packed_matches_oracle(dist):
 
 @pytest.mark.parametrize("n_valid", [4200, 4096, 100])
 def test_scan_packed_validity_boundary(n_valid):
-    """Rows >= n_valid must never be selected (boundary-gated masking)."""
+    """Invalid rows must never be selected.  The kernel has NO positional
+    masking: validity rides the cache channel as +BIG sentinels (the
+    store.device_int8 contract), and the wrapper sentinels its own
+    NB-alignment padding rows the same way."""
     N, dim, B, r = 4200, 32, 4, 12
     base, qs = _make("l2sqr", N, dim, B, seed=3)
-    # make the tail rows the closest to every query: if masking fails they win
+    # make the tail rows the closest to every query: if the sentinels fail
+    # to suppress them, they win every min
     base[n_valid:] = qs[0] if n_valid < N else base[n_valid:]
     from lab_1806_vec_db_tpu.ops import topk as T
 
     base_i8, scales = T.quantize_rows_int8(jnp.asarray(base))
     cache = D.dist_cache(jnp.asarray(base), "l2sqr")
+    valid_rows = jnp.arange(N) < n_valid
+    scales = jnp.where(valid_rows, scales, 0.0)
+    cache = jnp.where(valid_rows, cache, jnp.float32(PS._BIG))
     bd, bi = PS.scan_candidates_int8_packed(
         jnp.asarray(qs), base_i8, scales, cache, jnp.int32(n_valid), r, "l2sqr",
         interpret=True,
