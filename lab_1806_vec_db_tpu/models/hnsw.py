@@ -53,6 +53,7 @@ HEURISTIC_CAND = 64
 # set to a utils.profiling.Spans to instrument bulk build (adds device syncs)
 BUILD_SPANS = None
 CHUNK_LADDER = (1, 4, 16, 64, 256, 1024, 4096)
+BULK_LINKS_MIN = 4096  # batch size from which level-0 links go device-canonical
 START_BATCH_SINCE = 1000  # hnsw_index.rs:506
 
 
@@ -332,6 +333,11 @@ class HNSWIndex:
         self._dev_links0: jax.Array | None = None
         self._links0_dirty_rows: set[int] = set()
         self._links0_full_dirty = True
+        # bulk-build mode: the DEVICE links matrix is canonical and the host
+        # copy is stale until _exit_links_bulk downloads it once (see
+        # _apply_reverse — per-round host round-trips of link rows dominated
+        # bulk-build wall time on tunneled devices)
+        self._links0_canonical_dev = False
 
     # ---- basic accessors ----
     @property
@@ -351,6 +357,13 @@ class HNSWIndex:
 
     # ---- capacity management ----
     def _grow(self, n_needed: int) -> None:
+        if self._links0_canonical_dev and n_needed > self.store.capacity:
+            # capacity change reallocates the links matrix: fold the
+            # device-canonical copy back first (rare — bulk builds pre-size)
+            self._exit_links_bulk()
+            self._grow(n_needed)
+            self._enter_links_bulk()
+            return
         self.store._grow_to(n_needed)
         cap = self.store.capacity
         if cap > len(self.levels):
@@ -366,7 +379,25 @@ class HNSWIndex:
             self._links0_full_dirty = True
             self._links0_dirty_rows.clear()
 
+    def _enter_links_bulk(self) -> None:
+        """Make the device links matrix canonical for a bulk insert."""
+        if self._links0_canonical_dev:
+            return
+        self._links0_device()  # sync any host dirt into the device copy
+        self._links0_canonical_dev = True
+
+    def _exit_links_bulk(self) -> None:
+        """Download the device-canonical links back to the host (once)."""
+        if not self._links0_canonical_dev:
+            return
+        self.links0 = np.asarray(self._dev_links0)
+        self._links0_canonical_dev = False
+        self._links0_full_dirty = False
+        self._links0_dirty_rows.clear()
+
     def _links0_device(self) -> jax.Array:
+        if self._links0_canonical_dev:
+            return self._dev_links0
         if self._dev_links0 is None or self._links0_full_dirty:
             self._dev_links0 = jnp.asarray(self.links0)
             self._links0_full_dirty = False
@@ -380,6 +411,12 @@ class HNSWIndex:
         return self._dev_links0
 
     def _write_links0(self, rows: np.ndarray, values: np.ndarray) -> None:
+        if self._links0_canonical_dev:
+            # device is canonical: scatter there, leave the host copy stale
+            self._dev_links0 = self._dev_links0.at[jnp.asarray(rows)].set(
+                jnp.asarray(values)
+            )
+            return
         self.links0[rows] = values
         if self._links0_full_dirty:
             return
@@ -408,24 +445,35 @@ class HNSWIndex:
         n_new = len(vecs)
         out: list[int] = []
         cur = 0
-        while cur < n_new:
-            n_now = len(self.store)
-            # Chunk growth: floor 256, matched to graph size, capped at the
-            # 1024-row device batch.  The reference grows chunks as n/M to
-            # protect insertion quality (hnsw_index.rs:391-397), but here the
-            # intra-chunk patch uses *exact* pairwise distances
-            # (_select_links), so a chunk as large as the current graph still
-            # selects near-exact links — and for n <= ef_construction the
-            # frozen-graph beam is exhaustive anyway.  The floor removes the
-            # ~hundred tiny warmup chunks whose per-dispatch overhead
-            # dominated bulk build.
-            size = min(max(n_now, 256), CHUNK_LADDER[-1])
-            size = min(size, n_new - cur)
-            self._insert_chunk(vecs[cur : cur + size])
-            cur += size
-            out.extend(range(n_now, n_now + size))
-            if progress is not None:
-                progress(cur, n_new)
+        # bulk inserts flip the level-0 links matrix to device-canonical:
+        # reverse-arrange rounds then gather/scatter link rows entirely on
+        # device instead of round-tripping them through the host per round
+        bulk = n_new >= BULK_LINKS_MIN
+        if bulk:
+            self._grow(len(self.store) + n_new)  # pre-size: no mid-bulk realloc
+            self._enter_links_bulk()
+        try:
+            while cur < n_new:
+                n_now = len(self.store)
+                # Chunk growth: floor 256, matched to graph size, capped at
+                # the device batch ladder.  The reference grows chunks as n/M
+                # to protect insertion quality (hnsw_index.rs:391-397), but
+                # here the intra-chunk patch uses *exact* pairwise distances
+                # (_select_links), so a chunk as large as the current graph
+                # still selects near-exact links — and for
+                # n <= ef_construction the frozen-graph beam is exhaustive
+                # anyway.  The floor removes the ~hundred tiny warmup chunks
+                # whose per-dispatch overhead dominated bulk build.
+                size = min(max(n_now, 256), CHUNK_LADDER[-1])
+                size = min(size, n_new - cur)
+                self._insert_chunk(vecs[cur : cur + size])
+                cur += size
+                out.extend(range(n_now, n_now + size))
+                if progress is not None:
+                    progress(cur, n_new)
+        finally:
+            if bulk:
+                self._exit_links_bulk()
         return out
 
     @classmethod
@@ -700,6 +748,56 @@ class HNSWIndex:
         pending = {p: list(v) for p, v in rev_edges.items()}
         ul = self._upper(level) if level > 0 else None
         vecs, _ = self.store.device()
+
+        if level == 0 and self._links0_canonical_dev:
+            # Device-canonical links: each round gathers its pivot rows from
+            # the device matrix, arranges, and scatters back — link rows
+            # never cross the host boundary, and dependent rounds (a pivot
+            # whose add-list overflows _REV_ADD_CAP) chain correctly because
+            # every arrange reads the previous arrange's output.  Only the
+            # small (piv, new_ids) int32 blocks upload per round.
+            links_dev = self._dev_links0
+            cap = links_dev.shape[0]
+            # rounds slice pivots in ascending add-count order so each
+            # round's A_pad stays tight (one 64-add outlier would otherwise
+            # widen the whole round's upload 16x)
+            order = sorted(pending.keys(), key=lambda p: len(pending[p]))
+            while pending:
+                round_edges = {}
+                for p in order:
+                    if p not in pending:
+                        continue
+                    adds = pending[p]
+                    round_edges[p] = adds[: self._REV_ADD_CAP]
+                    rest = adds[self._REV_ADD_CAP :]
+                    if rest:
+                        pending[p] = rest
+                    else:
+                        del pending[p]
+                    if len(round_edges) >= self._REV_PIVOT_CAP:
+                        break
+                pivots = sorted(round_edges.keys())
+                P = len(pivots)
+                A = max(len(v) for v in round_edges.values())
+                A_pad = _pow2(A)
+                P_pad = _pow2(P)
+                # ONE packed upload per round: column 0 = pivot id, rest =
+                # new candidate ids.  Dummy pivots use an OUT-OF-RANGE id:
+                # gather clips, scatter drops — a duplicated real id would
+                # race its own update.
+                piv_new = np.full((P_pad, 1 + A_pad), -1, np.int32)
+                piv_new[:, 0] = cap
+                for idx, p in enumerate(pivots):
+                    piv_new[idx, 0] = p
+                    adds = round_edges[p]
+                    piv_new[idx, 1 : 1 + len(adds)] = adds
+                links_dev = G.arrange_links_inplace(
+                    vecs, links_dev, jnp.asarray(piv_new), cfg.dist, cfg.max_m0,
+                )
+                # keep the canonical reference current every round: the old
+                # buffer was donated and must never be read again
+                self._dev_links0 = links_dev
+            return
 
         # Two-phase pipeline: dispatch EVERY round's device arrange first
         # (they are independent — each pivot appears in exactly one round

@@ -94,8 +94,7 @@ def pairwise_among(
     return jnp.where(invalid, jnp.inf, out)
 
 
-@partial(jax.jit, static_argnames=("dist", "link_width"))
-def arrange_links_batch(
+def _arrange_core(
     vectors: jax.Array,  # (N_cap, dim)
     links_rows: jax.Array,  # (P, L) int32 current links of each pivot, -1 padded
     pivot_ids: jax.Array,  # (P,) int32
@@ -155,3 +154,45 @@ def arrange_links_batch(
 
     overflow = (count > link_width)[:, None]
     return jnp.where(overflow, pruned, appended)
+
+
+@partial(jax.jit, static_argnames=("dist", "link_width"))
+def arrange_links_batch(
+    vectors: jax.Array,  # (N_cap, dim)
+    links_rows: jax.Array,  # (P, L) int32 current links of each pivot, -1 padded
+    pivot_ids: jax.Array,  # (P,) int32
+    new_ids: jax.Array,  # (P, A) int32 new candidates to add, -1 padded
+    dist: str,
+    link_width: int,
+) -> jax.Array:
+    """Host-facing arrange: takes explicit rows, returns new rows (see
+    `_arrange_core`)."""
+    return _arrange_core(vectors, links_rows, pivot_ids, new_ids, dist, link_width)
+
+
+@partial(jax.jit, static_argnames=("dist", "link_width"), donate_argnums=(1,))
+def arrange_links_inplace(
+    vectors: jax.Array,  # (N_cap, dim)
+    links_dev: jax.Array,  # (cap, link_width) int32 — DEVICE-CANONICAL links
+    piv_new: jax.Array,  # (P, 1 + A) int32: column 0 = pivot id, rest = new
+    # candidate ids (-1 padded).  Pivot entries >= cap are dummies (dropped).
+    dist: str,
+    link_width: int,
+) -> jax.Array:
+    """Device-resident arrange: gather pivot rows from `links_dev`, run the
+    arrange core, scatter the new rows back, return the updated (donated)
+    matrix.  No link data crosses the host boundary — the transport-bound
+    upload/download of pivot rows that dominated bulk-build wall time on
+    tunneled devices disappears.  Pivot ids and add-lists ride ONE packed
+    upload (column 0) to halve per-round transport round trips.
+
+    Dummy pivot entries use an out-of-range id (>= cap): the gather clips
+    (the read row is irrelevant) and the scatter drops them (`mode="drop"`),
+    so padding can never corrupt a real row — scattering a duplicated REAL
+    pivot id would race with that pivot's own update.
+    """
+    pivot_ids = piv_new[:, 0]
+    new_ids = piv_new[:, 1:]
+    rows = links_dev[jnp.minimum(pivot_ids, links_dev.shape[0] - 1)]
+    new_rows = _arrange_core(vectors, rows, pivot_ids, new_ids, dist, link_width)
+    return links_dev.at[pivot_ids].set(new_rows, mode="drop")

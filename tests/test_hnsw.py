@@ -95,3 +95,32 @@ def test_reverse_arrange_tiny_round_caps(monkeypatch):
     _, ids = index.knn_with_ef_batch(queries, 10, 80)
     recall = np.mean([len(set(gt[q]) & set(ids[q])) / 10 for q in range(50)])
     assert recall >= 0.9
+
+
+def test_bulk_device_canonical_links_identical(gist_1000, monkeypatch):
+    """The device-canonical bulk links path (batch >= BULK_LINKS_MIN:
+    gather/arrange/scatter on device, one final download) must produce a
+    graph IDENTICAL to the per-round host path — same arithmetic, same
+    round partitioning, only the residency of the links matrix differs."""
+    import lab_1806_vec_db_tpu.models.hnsw as H
+
+    vecs = gist_1000[:600, :16].copy()
+    cfg = HNSWConfig(ef_construction=60, M=8)
+
+    monkeypatch.setattr(H, "BULK_LINKS_MIN", 10**9)  # host path
+    a = HNSWIndex.build(vecs, "l2sqr", cfg, seed=7)
+    assert not a._links0_canonical_dev
+
+    monkeypatch.setattr(H, "BULK_LINKS_MIN", 1)  # device-canonical path
+    b = HNSWIndex.build(vecs, "l2sqr", cfg, seed=7)
+    assert not b._links0_canonical_dev  # exited after build
+
+    np.testing.assert_array_equal(a.links0[:600], b.links0[:600])
+    assert a.entry_point == b.entry_point and a.enter_level == b.enter_level
+    for ua, ub in zip(a.upper, b.upper):
+        np.testing.assert_array_equal(ua.links[: ua.n], ub.links[: ub.n])
+
+    # and the graph still searches: oracle identity at clipped dim
+    flat = FlatIndex.from_numpy(vecs, "l2sqr")
+    q = vecs[123]
+    assert [p.index for p in b.knn(q, 5)] == [p.index for p in flat.knn(q, 5)]
