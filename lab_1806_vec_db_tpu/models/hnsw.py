@@ -694,36 +694,52 @@ class HNSWIndex:
 
             limit = cfg.max_m0 if level == 0 else cfg.m
             # forward links (initially limited to m even at level 0,
-            # hnsw_index.rs:230-233)
-            fwd_rows = []
-            fwd_vals = []
-            rev_edges: dict[int, list[int]] = {}
+            # hnsw_index.rs:230-233) — vectorized row compaction + sorted
+            # grouping replace the per-row python loop (was ~10% of bulk
+            # build wall time at chunk 4096)
             _host_span = _span("host-links")
             _host_span.__enter__()
-            for r in range(c):
-                node = int(ids[r])
-                if not need[r]:
-                    continue
-                row_sel = sel[r]
-                row_sel = row_sel[row_sel >= 0]
-                # guard: never link to self (dummy padding could inject it)
-                row_sel = row_sel[row_sel != node]
+            rows_idx = np.nonzero(need[:c])[0]
+            rev_edges: dict[int, list[int]] = {}
+            if len(rows_idx):
+                S = sel[rows_idx].astype(np.int32)  # (R, w)
+                nodes = ids[rows_idx].astype(np.int32)
+                # guard: drop invalid and self (dummy padding could inject it)
+                valid = (S >= 0) & (S != nodes[:, None])
+                # compact each row: valid entries first, original order kept
+                order = np.argsort(~valid, axis=1, kind="stable")
+                Sc = np.take_along_axis(S, order, axis=1)
+                vc = np.take_along_axis(valid, order, axis=1)
+                Sc = np.where(vc, Sc, -1)
                 if level == 0:
-                    padded = np.full(cfg.max_m0, -1, np.int32)
-                    padded[: len(row_sel)] = row_sel
-                    fwd_rows.append(node)
-                    fwd_vals.append(padded)
+                    w = Sc.shape[1]
+                    padded = np.full((len(rows_idx), cfg.max_m0), -1, np.int32)
+                    padded[:, : min(w, cfg.max_m0)] = Sc[:, : cfg.max_m0]
+                    self._write_links0(nodes, padded)
                 else:
                     ul = self._upper(level)
-                    rrow = ul.ensure_member(node)
-                    ul.links[rrow] = -1
-                    ul.links[rrow, : len(row_sel)] = row_sel
+                    ww = min(Sc.shape[1], cfg.m)
+                    for i, node in enumerate(nodes):
+                        rrow = ul.ensure_member(int(node))
+                        ul.links[rrow] = -1
+                        ul.links[rrow, :ww] = Sc[i, :ww]
                     ul.dirty = True
-                for p in row_sel:
-                    rev_edges.setdefault(int(p), []).append(node)
-
-            if fwd_rows:
-                self._write_links0(np.array(fwd_rows), np.array(fwd_vals))
+                # reverse edges grouped by pivot: stable sort keeps each
+                # pivot's adds in ascending chunk-row order (same lists the
+                # old setdefault loop produced)
+                pv = S[valid]
+                nd = np.repeat(nodes, valid.sum(1))
+                o2 = np.argsort(pv, kind="stable")
+                pv_s, nd_s = pv[o2], nd[o2]
+                if len(pv_s):
+                    splits = np.nonzero(np.diff(pv_s))[0] + 1
+                    starts = np.concatenate(([0], splits))
+                    bounds = np.append(starts, len(pv_s))
+                    keys = pv_s[starts]
+                    rev_edges = {
+                        int(k): nd_s[bounds[i] : bounds[i + 1]].tolist()
+                        for i, k in enumerate(keys)
+                    }
             _host_span.__exit__(None, None, None)
 
             # reverse links: batched arrange (hnsw_index.rs:204-239)
