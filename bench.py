@@ -190,6 +190,133 @@ def bench_scan(n: int, k: int, n_queries: int) -> dict:
     }
 
 
+def make_fill(seed: int, dim: int, n_clusters: int = 256):
+    """Deterministic clustered block generator for the lean-tier ingest:
+    fill(row0, rows) regenerates the SAME rows for the same row0 (keyed by
+    fold_in), so exact f32 ground truth can be computed in blocks after the
+    f32 data is discarded."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    key = jax.random.PRNGKey(seed)
+    kc, kb, kq = jax.random.split(key, 3)
+    centers = jax.random.normal(kc, (n_clusters, dim), jnp.float32)
+
+    @partial(jax.jit, static_argnames=("rows",))
+    def gen(key_b, centers, rows):
+        ka, kn = jax.random.split(key_b)
+        assign = jax.random.randint(ka, (rows,), 0, n_clusters)
+        return centers[assign] + 0.35 * jax.random.normal(kn, (rows, dim), jnp.float32)
+
+    def fill(row0, rows):
+        return gen(jax.random.fold_in(kb, row0), centers, rows)
+
+    def queries(n_queries):
+        ka, kn = jax.random.split(kq)
+        assign = jax.random.randint(ka, (n_queries,), 0, n_clusters)
+        return centers[assign] + 0.35 * jax.random.normal(
+            kn, (n_queries, dim), jnp.float32
+        )
+
+    return fill, queries
+
+
+def exact_gt_blocked(fill, n, q_dev, k, dist, block_rows):
+    """Exact f32 ground truth without ever holding the full set: regenerate
+    each block, exact-scan it, merge a running top-k."""
+    import jax.numpy as jnp
+    from lab_1806_vec_db_tpu.ops import topk as T
+
+    B = q_dev.shape[0]
+    best_d = jnp.full((B, k), jnp.inf, jnp.float32)
+    best_i = jnp.full((B, k), T.INVALID_ID, jnp.int32)
+    from lab_1806_vec_db_tpu.ops import distance as D
+
+    for row0 in range(0, n, block_rows):
+        rows = min(block_rows, n - row0)
+        v = fill(row0, rows)
+        cache = D.dist_cache(v, dist)
+        td, ti = T.knn_scan(q_dev, v, cache, jnp.int32(rows), k, dist)
+        ti = jnp.where(ti >= 0, ti + row0, ti)
+        best_d, best_i = T.merge_topk(best_d, best_i, td, ti, k)
+    return np.asarray(best_i)
+
+
+def bench_ivf_big(n: int, k: int, n_queries: int, n_probes: int) -> dict:
+    """Lean-tier scale demo: N x 960 f32 would be ~4 GB per 1M rows — past
+    ~1.2M the full tier (f32 canonical + f32 slab + mirrors) no longer fits
+    one 16 GB chip.  The lean tier (permuted int8 mirror + bf16 rerank
+    slab, ~3 KB/row at dim 960) holds N >= 2M with room for transients,
+    and the batched binned IVF scan beats the (linear-cost) full scan."""
+    import jax
+    import jax.numpy as jnp
+    from lab_1806_vec_db_tpu.models import FlatIndex, IVFIndex
+    from lab_1806_vec_db_tpu.utils.config import IVFConfig
+
+    dim = 960
+    nlist = 256 * max(1, round(n / 1_000_000))
+    log(f"lean ingest: N={n} dim={dim} nlist={nlist} probes={n_probes}")
+    fill, queries_fn = make_fill(0, dim)
+    q_dev = jnp.asarray(queries_fn(n_queries))
+
+    t0 = time.perf_counter()
+    idx = IVFIndex.from_device_blocks(
+        fill, n, dim, "l2sqr", IVFConfig(k=nlist, k_means_max_iter=10), seed=0
+    )
+    build_s = time.perf_counter() - t0
+    log(f"lean IVF build in {build_s:.1f}s")
+
+    log("exact f32 ground truth (blocked regeneration)...")
+    t0 = time.perf_counter()
+    gt_ids = exact_gt_blocked(fill, n, q_dev, k, "l2sqr", 131072)
+    log(f"ground truth in {time.perf_counter()-t0:.1f}s")
+
+    # warm both paths
+    d, ids = idx._knn_device_binned(q_dev, k, n_probes)
+    recall_ivf = recall_at_k(gt_ids, np.asarray(ids), k)
+    flat = FlatIndex.from_store(idx.store)
+    _, ids_f = flat._knn_device(q_dev, k)
+    recall_flat = recall_at_k(gt_ids, np.asarray(ids_f), k)
+
+    def chained_qps(step):
+        reps, rounds = 6, 4
+        best = 1e9
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            s = jnp.float32(0.0)
+            for _ in range(reps):
+                d_out, _ = step(q_dev + s * 1e-30)
+                s = s + d_out[0, 0] * 1e-30
+            np.asarray(s)
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return n_queries / best
+
+    qps_ivf = chained_qps(lambda q: idx._knn_device_binned(q, k, n_probes))
+    qps_flat = chained_qps(lambda q: flat._knn_device(q, k))
+    log(
+        f"binned IVF: {qps_ivf:.0f} QPS @ recall {recall_ivf:.4f} | "
+        f"full scan: {qps_flat:.0f} QPS @ recall {recall_flat:.4f}"
+    )
+    return {
+        "metric": "lean_ivf_binned_qps",
+        "value": round(qps_ivf, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps_ivf / BASELINE_QPS, 3),
+        "recall_at_10": round(recall_ivf, 4),
+        "n": n,
+        "dim": dim,
+        "nlist": nlist,
+        "n_probes": n_probes,
+        "batch": n_queries,
+        "build_seconds": round(build_s, 1),
+        "full_scan_qps": round(qps_flat, 1),
+        "full_scan_recall_at_10": round(recall_flat, 4),
+        "baseline": "Gist1M HNSW ef=120 multi-threaded CPU, 6514 QPS @ recall 0.8504 (data/t_bench.toml)",
+        "note": "lean tier (permuted int8 mirror + bf16 DMA-rerank slab, no f32 on device); exact f32 GT by deterministic block regeneration; QPS best-of-rounds chained",
+    }
+
+
 def bench_hnsw(n: int, k: int, n_queries: int, ef: int) -> dict:
     from lab_1806_vec_db_tpu.models import FlatIndex, HNSWIndex
     from lab_1806_vec_db_tpu.utils.config import HNSWConfig
@@ -245,6 +372,10 @@ def main() -> None:
         n = int(os.environ.get("BENCH_N", "100000"))
         ef = int(os.environ.get("BENCH_EF", "120"))
         result = bench_hnsw(n, k, n_queries, ef)
+    elif mode == "bigivf":
+        n = int(os.environ.get("BENCH_N", "2000000"))
+        n_probes = int(os.environ.get("BENCH_PROBES", "4"))
+        result = bench_ivf_big(n, k, n_queries, n_probes)
     else:
         n = int(os.environ.get("BENCH_N", "1000000"))
         result = bench_scan(n, k, n_queries)

@@ -98,15 +98,22 @@ class FlatIndex:
         else:
             q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
         n = len(self.store)
+        lean = self.store.tier == "lean"
         if exact is None:
-            exact = _SCAN_MODE == "exact" or n <= _EXACT_BELOW
+            exact = not lean and (_SCAN_MODE == "exact" or n <= _EXACT_BELOW)
             if not exact and _SCAN_MODE in ("int8", "pca"):
                 # quantization self-test: datasets whose neighbor gaps are
                 # tiny relative to vector magnitudes defeat int8 ordering
                 # at ANY rerank depth; use the exact scan there
                 exact = not self.store.int8_reliable()
-        vecs, cache = self.store.device()
         if exact:
+            if lean:
+                raise RuntimeError(
+                    "exact f32 scan unavailable on a lean-tier store "
+                    "(no f32 device copy; and the int8 self-test failed, "
+                    "so the quantized stage-1 cannot be trusted either)"
+                )
+            vecs, cache = self.store.device()
             return T.knn_scan(q, vecs, cache, jnp.int32(n), k, self.dist)
         r = min(max(_RERANK_MULT * k, 32), n)
         if _SCAN_MODE == "pca" and _PCA_DIM < self.dim:
@@ -144,17 +151,27 @@ class FlatIndex:
                 )
             cand = T.decode_perm(cand, perm, jnp.int32(n))
         else:
-            scan_vecs, _ = self.store.device_traversal()
-            _, cand = T.scan_candidates(q, scan_vecs, cache, jnp.int32(n), r, self.dist)
+            scan_vecs, scan_cache0 = self.store.device_traversal()
+            _, cand = T.scan_candidates(
+                q, scan_vecs, scan_cache0, jnp.int32(n), r, self.dist
+            )
         if jax.default_backend() != "cpu":
-            # DMA-gather rerank kernel: exact f32 distances for the r
-            # candidates at HBM copy speed (ops/pallas_gather.py)
+            # DMA-gather rerank kernel: exact (slab-precision on the lean
+            # tier) f32 distances for the r candidates at HBM copy speed
+            # (ops/pallas_gather.py)
             from ..ops import pallas_gather as PG
 
             base_rs = self.store.device_rerank()
             return PG.rerank_topk_rs(q, base_rs, cand, k, self.dist)
+        if lean:
+            # CPU lean tier (tests): the DMA kernel runs in interpret mode
+            from ..ops import pallas_gather as PG
+
+            base_rs = self.store.device_rerank()
+            return PG.rerank_topk_rs(q, base_rs, cand, k, self.dist, interpret=True)
         # CPU fallback: order candidates on the half-width bf16 copy
         # (gather-bound step), then exact f32 distances for the chosen k rows
+        vecs, _ = self.store.device()
         scan_vecs, scan_cache = self.store.device_traversal()
         _, top_ids = T.knn_gathered(q, scan_vecs, cand, k, self.dist, base_cache=scan_cache)
         return T.exact_distances_sorted(q, vecs, top_ids, self.dist, base_cache=scan_cache)

@@ -151,6 +151,54 @@ class IVFIndex:
         posting, counts = _build_posting(assign, config.k)
         return cls(store, config, np.asarray(centroids), posting, counts)
 
+    @classmethod
+    def from_device_blocks(
+        cls,
+        fill,
+        n: int,
+        dim: int,
+        dist: str,
+        config: IVFConfig,
+        seed: int = 0,
+        rerank_dtype=jnp.bfloat16,
+        block_rows: int = 131072,
+    ) -> "IVFIndex":
+        """Memory-LEAN build for datasets whose f32 form exceeds device HBM
+        (see VecStore.from_device_blocks): k-means trains on the first
+        generated block, every block is cluster-assigned while still f32 on
+        device, and only the int8 scan mirror + reduced-precision rerank
+        slab persist.  This is the intended ingest for the binned-IVF scale
+        path at N >= ~2e6 per chip, where the full tier cannot hold the f32
+        canonical copy + f32 rerank slab."""
+        import jax
+        from .store import VecStore
+
+        n_train = min(config.k_means_size or block_rows, n, block_rows)
+        train = fill(0, n_train)
+        centroids_dev = KM.kmeans_fit(
+            jax.random.PRNGKey(seed),
+            train,
+            jnp.int32(n_train),
+            config.k,
+            config.k_means_max_iter,
+            config.k_means_tol,
+            dist,
+        )
+        del train
+        assign = np.empty(n, np.int32)
+
+        def assign_fn(v, row0):
+            a = KM.find_nearest(v, centroids_dev, dist)
+            assign[row0 : row0 + v.shape[0]] = np.asarray(a)
+
+        store = VecStore.from_device_blocks(
+            fill, n, dim, dist,
+            rerank_dtype=rerank_dtype, block_rows=block_rows,
+            assign_fn=assign_fn,
+        )
+        posting, counts = _build_posting(assign, config.k)
+        return cls(store, config, np.asarray(centroids_dev), posting, counts)
+
     # ---- search (ivf_index.rs:143-154) ----
     def _device(self):
         if self._dev_centroids is None:
@@ -354,13 +402,15 @@ class IVFIndex:
         _, probe_ids = KM.find_n_nearest(q_dev, centroids, n_probes, self.dist)
         cand = posting[probe_ids]  # (B, n_probes, Lmax)
         cand = cand.reshape(cand.shape[0], -1)
-        if jax.default_backend() != "cpu":
+        lean = self.store.tier == "lean"
+        if jax.default_backend() != "cpu" or lean:
             # probe unions can span most of the set — stream them through
             # the DMA-gather kernel instead of one giant XLA gather
             from ..ops import pallas_gather as PG
 
             d, i = PG.rerank_topk_blocked(
-                q_dev, self.store.device_rerank(), cand, k, self.dist
+                q_dev, self.store.device_rerank(), cand, k, self.dist,
+                interpret=lean and jax.default_backend() == "cpu",
             )
         else:
             vecs, cache = self.store.device()

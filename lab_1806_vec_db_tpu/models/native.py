@@ -52,7 +52,7 @@ def hnsw_knn_single(index, query: np.ndarray, k: int, ef: int):
 
 def flat_knn_single(store, query: np.ndarray, k: int):
     """Serial native exact scan. Returns (ids, dists) lists or None."""
-    if _native is None:
+    if _native is None or store.tier == "lean":
         return None
     if store._host().dtype != np.float32:
         return None

@@ -120,6 +120,31 @@ def _slab_block_jit(vecs, slab, row0, sr, rows):
     return jax.lax.dynamic_update_slice(slab, v, (row0 * sr, 0))
 
 
+@_partial(jax.jit, static_argnames=("dist", "sr"), donate_argnums=(1, 2, 3, 4))
+def _lean_block_jit(v, q8, scale, cache_ch, slab, inv_rows, row0, dist, sr):
+    """Fold one f32 block into the lean-tier mirrors (all donated):
+    quantize + channel-fold + scatter into the PERMUTED int8 mirror, and
+    write the reduced-precision rerank slab rows (original-id order)."""
+    from ..ops import topk as T
+
+    rows, dim = v.shape
+    dim_pad = q8.shape[1]
+    vp = v if dim_pad == dim else jnp.pad(v, ((0, 0), (0, dim_pad - dim)))
+    q8v, scv = T.quantize_rows_int8(vp)
+    cpv = D.dist_cache(v, dist)
+    if dist == "cosine":  # unified channels: scale s/|x|, cache 0
+        scv = scv / jnp.maximum(cpv, 1e-20)
+        cpv = jnp.zeros_like(cpv)
+    q8 = q8.at[inv_rows].set(q8v)
+    scale = scale.at[inv_rows].set(scv)
+    cache_ch = cache_ch.at[inv_rows].set(cpv)
+    dimp2 = sr * 128
+    vs = vp if dimp2 == dim_pad else jnp.pad(vp, ((0, 0), (0, dimp2 - dim_pad)))
+    vs = vs.astype(slab.dtype).reshape(rows * sr, 128)
+    slab = jax.lax.dynamic_update_slice(slab, vs, (row0 * sr, 0))
+    return q8, scale, cache_ch, slab
+
+
 @_partial(jax.jit, static_argnames=("dim_pad", "rows"), donate_argnums=(1, 2))
 def _int8_block_jit(vecs, q8, scale, row0, dim_pad, rows):
     from ..ops import topk as T
@@ -200,6 +225,109 @@ class VecStore:
         jax.block_until_ready(store._dev_cache)
         return store
 
+    @property
+    def tier(self) -> str:
+        """"full" (f32 canonical on device + derived mirrors) or "lean"
+        (int8 scan mirror + reduced-precision rerank slab ONLY — see
+        `from_device_blocks`)."""
+        return getattr(self, "_tier", "full")
+
+    def _require_full(self, what: str):
+        if self.tier == "lean":
+            raise RuntimeError(
+                f"{what} requires the full store tier; this store was "
+                "ingested with from_device_blocks (lean tier: int8 scan "
+                "mirror + reduced-precision rerank slab, no f32 copy)"
+            )
+
+    @classmethod
+    def from_device_blocks(
+        cls,
+        fill,
+        n: int,
+        dim: int,
+        dist: str,
+        rerank_dtype=jnp.bfloat16,
+        block_rows: int = 131072,
+        assign_fn=None,
+    ) -> "VecStore":
+        """Memory-LEAN ingest for datasets whose f32 form exceeds device
+        HBM: stream `fill(row0, rows) -> (rows, dim) f32 device block`
+        (deterministic generator or host uploader), build ONLY the permuted
+        int8 scan mirror and a reduced-precision (default bf16) rerank
+        slab, and discard each f32 block.  Device-HBM cost per row: ~1 B/dim
+        (int8) + 2 B/dim_pad (bf16 slab) instead of the full tier's
+        ~11 B/dim — e.g. 2M x 960 fits one 16 GB chip with room for
+        transients, where the full tier OOMs past ~1.2M.
+
+        The lean store serves the two-stage scan (stage-1 int8 + rerank on
+        the slab: distances are slab-precision, ~1e-2 relative for bf16)
+        and the binned IVF path; exact-f32 accessors, mutation, and serde
+        raise RuntimeError.
+
+        `assign_fn(v, row0)` is an optional per-block callback (e.g. IVF
+        cluster assignment) run on each f32 block before it is discarded.
+        """
+        from ..ops import topk as T
+        from ..ops import pallas_gather as PG
+        from ..ops.pallas_scan import _BIG
+
+        D.check_dist(dist)
+        store = cls.__new__(cls)
+        store.dim = int(dim)
+        store.dist = dist
+        store.dtype = np.dtype(np.float32)
+        store._n = int(n)
+        store._cap = -(-int(n) // 16384) * 16384
+        store._tier = "lean"
+        store._data = None
+        store._dev = None
+        store._dev_cache = None
+        store._dev_bf16 = None
+        store._dev_proj = None
+        store._scan_bound = None
+        store._dirty_rows = set()
+        store._dev_full_dirty = False
+        cap = store._cap
+
+        rng = np.random.default_rng(cap ^ 0x5EED)
+        store._scan_perm = rng.permutation(cap).astype(np.int32)
+        store._scan_inv = np.empty(cap, np.int32)
+        store._scan_inv[store._scan_perm] = np.arange(cap, dtype=np.int32)
+
+        dim_pad = ((dim + 127) // 128) * 128
+        sr = PG.rerank_dim_pad(dim) // 128
+        q8 = jnp.zeros((cap, dim_pad), jnp.int8)
+        scale = jnp.zeros((cap,), jnp.float32)
+        cache_ch = jnp.full((cap,), _BIG, jnp.float32)  # sentinel everywhere
+        slab = jnp.zeros((cap * sr, 128), rerank_dtype)
+        inv_dev = jnp.asarray(store._scan_inv)
+
+        verdict = None
+        for row0 in range(0, n, block_rows):
+            rows = min(block_rows, n - row0)
+            v = fill(row0, rows)
+            if verdict is None:
+                # int8 ordering self-test on the first block (the lean
+                # store can never re-derive it from f32 later)
+                m = min(rows, 4096)
+                score = T.int8_ordering_selftest(
+                    v[:m], jnp.int32(m), jax.random.PRNGKey(0), dist
+                )
+                verdict = bool(float(score) >= 0.95)
+            if assign_fn is not None:
+                assign_fn(v, row0)
+            inv_rows = jax.lax.dynamic_slice(inv_dev, (row0,), (rows,))
+            q8, scale, cache_ch, slab = _lean_block_jit(
+                v, q8, scale, cache_ch, slab, inv_rows, row0, dist, sr
+            )
+            del v
+        jax.block_until_ready(q8)
+        store._dev_int8 = (q8, scale, cache_ch, jnp.asarray(store._scan_perm))
+        store._dev_rerank = slab
+        store._int8_ok = (verdict if verdict is not None else True, max(n, 1))
+        return store
+
     def set_scan_bound(self, bound: int | None) -> None:
         """Treat rows >= `bound` as INVALID in the int8 scan mirror (their
         sync writes the losing sentinel).  Used by HNSW bulk build to keep
@@ -218,6 +346,7 @@ class VecStore:
     def _host(self) -> np.ndarray:
         """The (cap, dim) host array, materializing it from the device
         mirror on first access for device-born stores."""
+        self._require_full("host data access")
         if self._data is None:
             host = np.zeros((self._cap, self.dim), dtype=self.dtype)
             if self._n:
@@ -260,6 +389,7 @@ class VecStore:
         self._dirty_rows.clear()
 
     def push(self, vec) -> int:
+        self._require_full("push()")
         vec = np.asarray(vec, dtype=self.dtype).reshape(-1)
         if vec.shape[0] != self.dim:
             raise ValueError(f"Dimension mismatch: {vec.shape[0]} != {self.dim}")
@@ -271,6 +401,7 @@ class VecStore:
         return idx
 
     def batch_push(self, vecs) -> list[int]:
+        self._require_full("batch_push()")
         vecs = np.asarray(vecs, dtype=self.dtype)
         if vecs.ndim != 2 or vecs.shape[1] != self.dim:
             raise ValueError(f"Dimension mismatch: {vecs.shape} vs dim={self.dim}")
@@ -284,6 +415,7 @@ class VecStore:
 
     def swap_remove(self, i: int) -> None:
         """Remove row i by moving the last row into it (vec_set.rs:131-137)."""
+        self._require_full("swap_remove()")
         if not (0 <= i < self._n):
             raise IndexError(i)
         last = self._n - 1
@@ -310,6 +442,7 @@ class VecStore:
     # ---- device view ----
     def device(self) -> tuple[jax.Array, jax.Array]:
         """Return (vectors (cap, dim) f32, dist_cache (cap,) f32), synced."""
+        self._require_full("device() (the f32 canonical copy)")
         if self._dev is None or self._dev_full_dirty:
             host = np.zeros((self._cap, self.dim), dtype=np.float32)
             host[: self._n] = self._host()[: self._n].astype(np.float32)
@@ -402,10 +535,13 @@ class VecStore:
         return self._dev_bf16, cache
 
     def device_rerank(self) -> jax.Array:
-        """Return the (cap*SR, 128) f32 row-slab copy for the Pallas DMA
-        rerank kernel (ops/pallas_gather.py), synced and cached."""
+        """Return the (cap*SR, 128) row-slab copy for the Pallas DMA rerank
+        kernel (ops/pallas_gather.py), synced and cached.  f32 on the full
+        tier; the lean tier returns its reduced-precision (bf16) slab."""
         from ..ops import pallas_gather as PG
 
+        if self.tier == "lean":
+            return self._dev_rerank
         vecs, _ = self.device()  # syncs dirty rows into _dev_rerank too
         if self._dev_rerank is None:
             dim_pad = PG.rerank_dim_pad(self.dim)
@@ -458,6 +594,8 @@ class VecStore:
         against the exact f32 view."""
         from ..ops.pallas_scan import _BIG
 
+        if self.tier == "lean":
+            return self._dev_int8  # pre-built at ingest, immutable
         vecs, cache = self.device()
         if self._dev_int8 is None:
             if self._scan_perm is None or len(self._scan_perm) != self._cap:
@@ -587,6 +725,7 @@ class VecStore:
     # ---- conversions (vec_set.rs:142-163 parity) ----
     def to_type(self, dtype) -> "VecStore":
         """dtype conversion via f32 mediation (vec_set.rs:142-149)."""
+        self._require_full("to_type()")
         out = VecStore(self.dim, self.dist, capacity=self._n, dtype=dtype)
         if self._n:
             out.batch_push(self._host()[: self._n].astype(np.float32).astype(dtype))
@@ -594,12 +733,14 @@ class VecStore:
 
     def random_sample(self, size: int, rng: np.random.Generator) -> np.ndarray:
         """Sample `size` rows without replacement (vec_set.rs:154-163)."""
+        self._require_full("random_sample()")
         size = min(size, self._n)
         sel = rng.choice(self._n, size=size, replace=False)
         return self._host()[np.sort(sel)].copy()
 
     # ---- serde ----
     def state_arrays(self, include_vectors: bool = True) -> dict[str, np.ndarray]:
+        self._require_full("serialization")
         out = {}
         if include_vectors:
             out["vectors"] = self._host()[: self._n].copy()

@@ -38,17 +38,20 @@ def rerank_dim_pad(dim: int) -> int:
     return ((dim + 1023) // 1024) * 1024
 
 
-def prepare_rerank_base(base: jax.Array) -> jax.Array:
-    """(N, dim) f32 -> (N * SR, 128) row-slab copy for `gather_dists_rs`.
+def prepare_rerank_base(base: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """(N, dim) -> (N * SR, 128) row-slab copy for `gather_dists_rs`.
 
     Do this ONCE per index (it copies the data); the result reshapes back to
-    (N, dim_pad) for free (same bytes, row-major).
+    (N, dim_pad) for free (same bytes, row-major).  `dtype` may be
+    jnp.bfloat16 for the memory-lean tier: half the HBM footprint and DMA
+    traffic, distances computed in f32 after an in-VMEM upcast (~1e-2
+    relative — callers on the lean tier accept selection-grade rerank).
     """
     n, dim = base.shape
     dim_pad = rerank_dim_pad(dim)
     if dim_pad != dim:
         base = jnp.pad(base, ((0, 0), (0, dim_pad - dim)))
-    return base.astype(jnp.float32).reshape(n * (dim_pad // 128), 128)
+    return base.astype(dtype).reshape(n * (dim_pad // 128), 128)
 
 
 def _gather_dist_kernel(
@@ -107,7 +110,8 @@ def _gather_dist_kernel(
 
     # All intermediates stay >= 2D (Mosaic cannot lay out 1D vectors).
     q = q_ref[:]  # (1, SR, 128) broadcasts over candidates
-    v = rows[:]  # (r, SR, 128); dim-padding lanes are zero in BOTH
+    v = rows[:].astype(jnp.float32)  # (r, SR, 128); dim-padding lanes are
+    # zero in BOTH; bf16 slabs upcast here (distance math stays f32)
     if dist == "l2sqr":
         diff = v - q
         d = jnp.sum(jnp.sum(diff * diff, axis=2), axis=1, keepdims=True)  # (r, 1)
@@ -158,7 +162,7 @@ def gather_dists_rs(
         out_specs=pl.BlockSpec((1, r, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, r, 1), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((r, sr, 128), jnp.float32),
+            pltpu.VMEM((r, sr, 128), base_rs.dtype),
             pltpu.SemaphoreType.DMA((2, min(r, _SEM_BANK))),
         ],
         interpret=interpret,

@@ -1,0 +1,83 @@
+"""Memory-lean store tier: block ingest builds only the int8 scan mirror +
+reduced-precision rerank slab (no f32 device copy).  The two-stage flat
+scan and the binned IVF path must still deliver high recall vs the exact
+full-tier oracle; f32 accessors and mutation must be refused."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lab_1806_vec_db_tpu.models import FlatIndex, IVFIndex
+from lab_1806_vec_db_tpu.models.store import VecStore
+from lab_1806_vec_db_tpu.utils.config import IVFConfig
+
+
+def _clustered(n, dim, n_q, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((16, dim)).astype(np.float32)
+    base = (0.3 * rng.standard_normal((n, dim)) + centers[rng.integers(0, 16, n)]).astype(np.float32)
+    qs = (0.3 * rng.standard_normal((n_q, dim)) + centers[rng.integers(0, 16, n_q)]).astype(np.float32)
+    return base, qs
+
+
+def _recall(gt, ids, k):
+    return np.mean([len(set(gt[i][:k]) & set(ids[i][:k])) / k for i in range(len(gt))])
+
+
+def test_lean_flat_two_stage_recall():
+    N, dim, k = 6000, 64, 10
+    base, qs = _clustered(N, dim, 16)
+    _, gt = FlatIndex.from_numpy(base, "l2sqr").knn_batch(qs, k, exact=True)
+
+    def fill(row0, rows):
+        return jnp.asarray(base[row0 : row0 + rows])
+
+    store = VecStore.from_device_blocks(fill, N, dim, "l2sqr", block_rows=2048)
+    assert store.tier == "lean"
+    assert len(store) == N
+    flat = FlatIndex.from_store(store)
+    d, ids = flat.knn_batch(qs, k)
+    assert _recall(gt, ids, k) >= 0.9
+    # slab-precision distances: ascending, close to exact
+    assert (np.diff(d, axis=1) >= -1e-4).all()
+
+
+def test_lean_refuses_f32_and_mutation():
+    N, dim = 600, 32
+    base, _ = _clustered(N, dim, 2)
+
+    def fill(row0, rows):
+        return jnp.asarray(base[row0 : row0 + rows])
+
+    store = VecStore.from_device_blocks(fill, N, dim, "l2sqr", block_rows=256)
+    for fn in (
+        store.device,
+        lambda: store.push(np.zeros(dim, np.float32)),
+        lambda: store.swap_remove(0),
+        lambda: store.random_sample(4, np.random.default_rng(0)),
+        store.state_arrays,
+    ):
+        with pytest.raises(RuntimeError, match="lean"):
+            fn()
+    # lean accessors still work
+    q8, scale, cache, perm = store.device_int8()
+    assert q8.dtype == jnp.int8
+    assert store.device_rerank().dtype == jnp.bfloat16
+    assert isinstance(store.int8_reliable(), bool)
+
+
+def test_lean_binned_ivf_recall():
+    N, dim, k = 6000, 64, 10
+    base, qs = _clustered(N, dim, 16, seed=3)
+    _, gt = FlatIndex.from_numpy(base, "l2sqr").knn_batch(qs, k, exact=True)
+
+    def fill(row0, rows):
+        return jnp.asarray(base[row0 : row0 + rows])
+
+    idx = IVFIndex.from_device_blocks(
+        fill, N, dim, "l2sqr", IVFConfig(k=16), seed=0, block_rows=2048
+    )
+    assert idx.store.tier == "lean"
+    qp = jnp.asarray(np.pad(qs, ((0, 0), (0, 0))))
+    d, ids = idx._knn_device_binned(qp, k, 4, interpret=True)
+    assert _recall(gt, np.asarray(ids), k) >= 0.85

@@ -230,3 +230,24 @@ def test_scan_packed_validity_boundary(n_valid):
     bi = np.asarray(bi)
     valid = bi[bi >= 0]
     assert (valid < n_valid).all()
+
+
+def test_gather_dists_bf16_slab():
+    """bf16 row-slab rerank (memory-lean tier): distances match the f32
+    oracle to bf16 input precision (~1e-2 relative)."""
+    N, dim, B, r = 400, 70, 4, 12
+    base, qs = _make("l2sqr", N, dim, B, seed=9)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, N, size=(B, r)).astype(np.int32)
+    ids[1, 0] = -1
+
+    base_rs = PG.prepare_rerank_base(jnp.asarray(base), dtype=jnp.bfloat16)
+    assert base_rs.dtype == jnp.bfloat16
+    gd = np.asarray(
+        PG.gather_dists_rs(jnp.asarray(qs), base_rs, jnp.asarray(ids), "l2sqr", interpret=True)
+    )
+    dm = ((qs[:, None, :] - base[None]) ** 2).sum(-1)
+    oracle = np.where(ids >= 0, np.take_along_axis(dm, np.maximum(ids, 0), axis=1), np.inf)
+    finite = np.isfinite(oracle)
+    np.testing.assert_allclose(gd[finite], oracle[finite], rtol=3e-2, atol=1e-2)
+    assert np.isinf(gd[~finite]).all()
