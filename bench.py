@@ -339,6 +339,11 @@ def bench_hnsw(n: int, k: int, n_queries: int, ef: int) -> dict:
     build_s = time.perf_counter() - t0
     log(f"build in {build_s:.1f}s ({n/build_s:.0f} vec/s)")
 
+    # the build's candidate scans needed the int8 mirror; batched search
+    # needs the bf16 traversal copy + f32 rerank slab instead — at 1M all
+    # of them together exceed a shared 16 GB chip
+    index.store.free_scan_mirrors()
+
     index.knn_with_ef_batch(queries, k, ef)
     t0 = time.perf_counter()
     reps = 3

@@ -58,6 +58,129 @@ def _build_posting(assign: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return posting, counts
 
 
+from functools import partial as _partial
+import jax as _jax
+
+
+@_partial(
+    _jax.jit,
+    static_argnames=(
+        "nlist", "n_probes", "k", "lpad", "dist", "interpret",
+        "use_pallas_ov", "has_overflow",
+    ),
+)
+def _binned_search_jit(
+    q_dev, centroids, q8s, scale_s, cache_s, perm_pad, base_rs,
+    q8_ov, scale_ov, cache_ov, perm_ov,
+    *, nlist, n_probes, k, lpad, dist, interpret, use_pallas_ov, has_overflow,
+):
+    """The full binned-IVF search pipeline as ONE compiled program: probe
+    selection, on-device query binning, segmented packed scan, per-query
+    regroup + top-r, overflow scan, and the exact DMA rerank (see
+    IVFIndex._knn_device_binned for the algorithm commentary)."""
+    import jax
+    from ..ops import binning as BN
+    from ..ops import distance as D
+    from ..ops import pallas_gather as PG
+    from ..ops import pallas_scan as PS
+    from ..ops.topk import INVALID_ID, quantize_rows_int8
+
+    spl = lpad // PS._GS  # survivors per list (_SPT=128 per 512-row tile)
+    B = q_dev.shape[0]
+    B_pad = max(128, ((B + 127) // 128) * 128)
+    qp = jnp.pad(q_dev.astype(jnp.float32), ((0, B_pad - B), (0, 0)))
+    _, probe_ids = KM.find_n_nearest(qp, centroids, n_probes, dist)
+    if B_pad != B:
+        # pad queries must not consume real bin slots (at small B the
+        # zero-vector pads could fill a popular list's bin and evict real
+        # probes): route them to a sentinel list that is binned but never
+        # scanned
+        pad_row = jnp.arange(B_pad, dtype=jnp.int32) >= B
+        probe_ids = jnp.where(pad_row[:, None], jnp.int32(nlist), probe_ids)
+    bins, slots = BN.bin_queries(probe_ids, nlist + 1, _QB)
+    bins = bins[:nlist]  # drop the sentinel list's bin
+
+    q_cache = D.dist_cache(qp, dist)
+    q8, q_scale = quantize_rows_int8(qp)
+    if q8s.shape[1] != q8.shape[1]:
+        q8 = jnp.pad(q8, ((0, 0), (0, q8s.shape[1] - q8.shape[1])))
+    qs2, q_cache = PS.query_channels(q_scale, q_cache, dist)
+
+    bc = jnp.maximum(bins, 0)  # (nlist, QB); pad slots read query 0, never used
+    qbT = jnp.transpose(q8[bc], (0, 2, 1))  # (nlist, dim, QB) int8
+    qs2_b = qs2[bc][:, None, :]
+    qc_b = q_cache[bc][:, None, :]
+
+    packed = PS.scan_chunkmin_int8_binned(
+        qbT, qs2_b, qc_b, q8s, scale_s, cache_s, dist, interpret=interpret
+    )  # (nlist*spl, QB)
+
+    # regroup: query b's survivors live in column slots[b,j] of list
+    # probe_ids[b,j]'s row block
+    pkq = jnp.transpose(packed.reshape(nlist, spl, _QB), (0, 2, 1)).reshape(
+        nlist * _QB, spl
+    )
+    dropped = slots < 0
+    rows = probe_ids * _QB + jnp.maximum(slots, 0)  # (B_pad, p)
+    rows = jnp.minimum(rows, nlist * _QB - 1)  # pad queries: clipped,
+    # their output rows are sliced off before returning
+    cand_pk = pkq[rows.reshape(-1)].reshape(B_pad, n_probes * spl)
+    big_bits = np.float32(3.0e38).view(np.int32).item()
+    cand_pk = jnp.where(
+        jnp.repeat(dropped, spl, axis=1), jnp.int32(big_bits), cand_pk
+    )
+    # sorted-row decode: survivor m of list l sits at row
+    # l*lpad + (m//SPT)*NB + (m%SPT) + low_bits*SPT  (strided groups)
+    m_idx = jnp.arange(spl, dtype=jnp.int32)
+    base_off = (m_idx // PS._SPT) * PS._NB_BIN + (m_idx % PS._SPT)
+    row0 = (probe_ids[:, :, None] * lpad + base_off[None, None, :]).reshape(
+        B_pad, n_probes * spl
+    )
+
+    as_f32 = jax.lax.bitcast_convert_type(cand_pk, jnp.float32)
+    # deeper rerank than the full scan: the candidate pool is ordered by
+    # int8 distance over in-list rows whose true distances are CLOSE (same
+    # cluster), so int8 ordering noise needs more exact-rerank headroom
+    r = min(max(8 * k, 64), n_probes * spl)
+    if n_probes * spl > 4 * r and not interpret:
+        # bucketed partial reduction; a full lax.top_k sort over the
+        # (B, p*spl) pool costs tens of ms at pool ~5k
+        ndneg, pos = jax.lax.approx_min_k(as_f32, r, recall_target=0.95)
+        nd = -ndneg
+    else:
+        nd, pos = jax.lax.top_k(-as_f32, r)
+    pk_sel = jnp.take_along_axis(cand_pk, pos, axis=1)
+    r0_sel = jnp.take_along_axis(row0, pos, axis=1)
+    sorted_ids = r0_sel + (pk_sel & (PS._GS - 1)) * PS._SPT
+    orig = perm_pad[jnp.clip(sorted_ids, 0, perm_pad.shape[0] - 1)]
+    bad = -nd >= jnp.float32(1.0e38)
+    orig = jnp.where(bad, INVALID_ID, orig)
+
+    if has_overflow:
+        # spilled rows of over-long lists: every query scans them via the
+        # full-scan kernel (they stay findable for any probe set)
+        n_ov = q8_ov.shape[0]
+        r_ov = min(max(4 * k, 32), n_ov)
+        if use_pallas_ov:
+            bd_ov, bi_ov = PS.scan_candidates_int8_packed(
+                qp, q8_ov, scale_ov, cache_ov, jnp.int32(n_ov), r_ov,
+                dist, interpret=interpret,
+            )
+        else:
+            from ..ops import topk as T
+
+            bd_ov, bi_ov = T.scan_candidates_int8(
+                qp, q8_ov, scale_ov, cache_ov, jnp.int32(n_ov), r_ov, dist
+            )
+        orig_ov = jnp.where(
+            bi_ov >= 0, perm_ov[jnp.clip(bi_ov, 0, n_ov - 1)], INVALID_ID
+        )
+        orig = jnp.concatenate([orig, orig_ov], axis=1)
+
+    d, i = PG.rerank_topk_rs(qp, base_rs, orig, k, dist, interpret=interpret)
+    return d[:B], i[:B]
+
+
 class IVFIndex:
     algorithm = "IVF"
 
@@ -268,118 +391,33 @@ class IVFIndex:
         list: centroid GEMM top-p -> on-device query binning -> segmented
         packed chunk-min scan -> per-query regroup + top-r -> exact f32
         rerank.  Overflowing a list's query bin (> _QB probes) drops that
-        (query, list) pair only.
+        (query, list) pair only.  The whole pipeline is ONE jit call:
+        eagerly dispatched it was ~30 device ops whose per-op transport
+        overhead cost ~90 ms/batch on tunneled devices (9k -> 31k QPS at
+        2M measured from this change alone).
         """
         import jax
-        from ..ops import binning as BN
-        from ..ops import distance as D
-        from ..ops import pallas_gather as PG
-        from ..ops import pallas_scan as PS
-        from ..ops.topk import INVALID_ID, quantize_rows_int8
 
         q8s, scale_s, cache_s, perm_pad, lpad, overflow = self._device_sorted()
         centroids, _ = self._device()
         nlist = self.config.k
-        spl = lpad // PS._GS  # survivors per list (_SPT=128 per 512-row tile)
-
-        n_probes = min(n_probes, nlist)  # probing more lists than exist = all
-
-        B = q_dev.shape[0]
-        B_pad = max(128, ((B + 127) // 128) * 128)
-        qp = jnp.pad(q_dev.astype(jnp.float32), ((0, B_pad - B), (0, 0)))
-        _, probe_ids = KM.find_n_nearest(qp, centroids, n_probes, self.dist)
-        if B_pad != B:
-            # pad queries must not consume real bin slots (at small B the
-            # zero-vector pads could fill a popular list's bin and evict
-            # real probes): route them to a sentinel list that is binned
-            # but never scanned
-            pad_row = jnp.arange(B_pad, dtype=jnp.int32) >= B
-            probe_ids = jnp.where(pad_row[:, None], jnp.int32(nlist), probe_ids)
-        bins, slots = BN.bin_queries(probe_ids, nlist + 1, _QB)
-        bins = bins[:nlist]  # drop the sentinel list's bin
-
-        q_cache = D.dist_cache(qp, self.dist)
-        q8, q_scale = quantize_rows_int8(qp)
-        if q8s.shape[1] != q8.shape[1]:
-            q8 = jnp.pad(q8, ((0, 0), (0, q8s.shape[1] - q8.shape[1])))
-        qs2, q_cache = PS.query_channels(q_scale, q_cache, self.dist)
-
-        bc = jnp.maximum(bins, 0)  # (nlist, QB); pad slots read query 0, never used
-        qbT = jnp.transpose(q8[bc], (0, 2, 1))  # (nlist, dim, QB) int8
-        qs2_b = qs2[bc][:, None, :]
-        qc_b = q_cache[bc][:, None, :]
-
-        packed = PS.scan_chunkmin_int8_binned(
-            qbT, qs2_b, qc_b, q8s, scale_s, cache_s, self.dist, interpret=interpret
-        )  # (nlist*spl, QB)
-
-        # regroup: query b's survivors live in column slots[b,j] of list
-        # probe_ids[b,j]'s row block
-        pkq = jnp.transpose(packed.reshape(nlist, spl, _QB), (0, 2, 1)).reshape(
-            nlist * _QB, spl
-        )
-        dropped = slots < 0
-        rows = probe_ids * _QB + jnp.maximum(slots, 0)  # (B_pad, p)
-        rows = jnp.minimum(rows, nlist * _QB - 1)  # pad queries: clipped,
-        # their output rows are sliced off before returning
-        cand_pk = pkq[rows.reshape(-1)].reshape(B_pad, n_probes * spl)
-        big_bits = np.float32(3.0e38).view(np.int32).item()
-        cand_pk = jnp.where(
-            jnp.repeat(dropped, spl, axis=1), jnp.int32(big_bits), cand_pk
-        )
-        # sorted-row decode: survivor m of list l sits at row
-        # l*lpad + (m//SPT)*NB + (m%SPT) + low_bits*SPT  (strided groups)
-        m_idx = jnp.arange(spl, dtype=jnp.int32)
-        base_off = (m_idx // PS._SPT) * PS._NB_BIN + (m_idx % PS._SPT)
-        row0 = (probe_ids[:, :, None] * lpad + base_off[None, None, :]).reshape(
-            B_pad, n_probes * spl
-        )
-
-        as_f32 = jax.lax.bitcast_convert_type(cand_pk, jnp.float32)
-        # deeper rerank than the full scan: the candidate pool is ordered by
-        # int8 distance over in-list rows whose true distances are CLOSE
-        # (same cluster), so int8 ordering noise needs more exact-rerank
-        # headroom to undo
-        r = min(max(8 * k, 64), n_probes * spl)
-        if n_probes * spl > 4 * r and not interpret:
-            # bucketed partial reduction; a full lax.top_k sort over the
-            # (B, p*spl) pool costs tens of ms at pool ~5k
-            ndneg, pos = jax.lax.approx_min_k(as_f32, r, recall_target=0.95)
-            nd = -ndneg
-        else:
-            nd, pos = jax.lax.top_k(-as_f32, r)
-        pk_sel = jnp.take_along_axis(cand_pk, pos, axis=1)
-        r0_sel = jnp.take_along_axis(row0, pos, axis=1)
-        sorted_ids = r0_sel + (pk_sel & (PS._GS - 1)) * PS._SPT
-        orig = perm_pad[jnp.clip(sorted_ids, 0, perm_pad.shape[0] - 1)]
-        bad = -nd >= jnp.float32(1.0e38)
-        orig = jnp.where(bad, INVALID_ID, orig)
-
-        if overflow is not None:
-            # spilled rows of over-long lists: every query scans them via
-            # the full-scan kernel (they stay findable for any probe set)
-            q8_ov, scale_ov, cache_ov, perm_ov = overflow
-            n_ov = q8_ov.shape[0]
-            r_ov = min(max(4 * k, 32), n_ov)
-            if jax.default_backend() != "cpu" or interpret:
-                bd_ov, bi_ov = PS.scan_candidates_int8_packed(
-                    qp, q8_ov, scale_ov, cache_ov, jnp.int32(n_ov), r_ov,
-                    self.dist, interpret=interpret,
-                )
-            else:
-                from ..ops import topk as T
-
-                bd_ov, bi_ov = T.scan_candidates_int8(
-                    qp, q8_ov, scale_ov, cache_ov, jnp.int32(n_ov), r_ov, self.dist
-                )
-            orig_ov = jnp.where(
-                bi_ov >= 0, perm_ov[jnp.clip(bi_ov, 0, n_ov - 1)], INVALID_ID
-            )
-            orig = jnp.concatenate([orig, orig_ov], axis=1)
-
+        n_probes = min(n_probes, nlist)
         base_rs = self.store.device_rerank()
-        d, i = PG.rerank_topk_rs(qp, base_rs, orig, k, self.dist, interpret=interpret)
-        return d[:B], i[:B]
+        if overflow is not None:
+            q8_ov, scale_ov, cache_ov, perm_ov = overflow
+        else:
+            q8_ov = jnp.zeros((0, q8s.shape[1]), jnp.int8)
+            scale_ov = jnp.zeros((0,), jnp.float32)
+            cache_ov = jnp.zeros((0,), jnp.float32)
+            perm_ov = jnp.zeros((0,), jnp.int32)
+        use_pallas_ov = jax.default_backend() != "cpu" or interpret
+        return _binned_search_jit(
+            q_dev, centroids, q8s, scale_s, cache_s, perm_pad, base_rs,
+            q8_ov, scale_ov, cache_ov, perm_ov,
+            nlist=nlist, n_probes=n_probes, k=k, lpad=lpad, dist=self.dist,
+            interpret=interpret, use_pallas_ov=use_pallas_ov,
+            has_overflow=overflow is not None,
+        )
 
     def knn_batch(self, queries: np.ndarray, k: int, n_probes: int | None = None):
         n_probes = n_probes or self.default_n_probes

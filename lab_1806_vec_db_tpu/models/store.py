@@ -328,6 +328,20 @@ class VecStore:
         store._int8_ok = (verdict if verdict is not None else True, max(n, 1))
         return store
 
+    def free_scan_mirrors(self) -> None:
+        """Release the derived int8/projection scan mirrors (device HBM).
+
+        They are caches: any later scan path rebuilds them on demand.  Use
+        between phases with different working sets — e.g. after an HNSW
+        bulk build (whose candidate scans need the int8 mirror) and before
+        batched graph search (which needs the bf16 traversal copy + rerank
+        slab instead): at 1M x 960 all mirrors together exceed a shared
+        16 GB chip.  No-op on the lean tier (there they ARE the data)."""
+        if self.tier == "lean":
+            return
+        self._dev_int8 = None
+        self._dev_proj = None
+
     def set_scan_bound(self, bound: int | None) -> None:
         """Treat rows >= `bound` as INVALID in the int8 scan mirror (their
         sync writes the losing sentinel).  Used by HNSW bulk build to keep
