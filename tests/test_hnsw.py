@@ -97,7 +97,8 @@ def test_reverse_arrange_tiny_round_caps(monkeypatch):
     assert recall >= 0.9
 
 
-def test_bulk_device_canonical_links_identical(gist_1000, monkeypatch):
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_bulk_device_canonical_links_identical(dist, gist_1000, monkeypatch):
     """The device-canonical bulk links path (batch >= BULK_LINKS_MIN:
     gather/arrange/scatter on device, one final download) must produce a
     graph IDENTICAL to the per-round host path — same arithmetic, same
@@ -108,11 +109,11 @@ def test_bulk_device_canonical_links_identical(gist_1000, monkeypatch):
     cfg = HNSWConfig(ef_construction=60, M=8)
 
     monkeypatch.setattr(H, "BULK_LINKS_MIN", 10**9)  # host path
-    a = HNSWIndex.build(vecs, "l2sqr", cfg, seed=7)
+    a = HNSWIndex.build(vecs, dist, cfg, seed=7)
     assert not a._links0_canonical_dev
 
     monkeypatch.setattr(H, "BULK_LINKS_MIN", 1)  # device-canonical path
-    b = HNSWIndex.build(vecs, "l2sqr", cfg, seed=7)
+    b = HNSWIndex.build(vecs, dist, cfg, seed=7)
     assert not b._links0_canonical_dev  # exited after build
 
     np.testing.assert_array_equal(a.links0[:600], b.links0[:600])
@@ -121,6 +122,6 @@ def test_bulk_device_canonical_links_identical(gist_1000, monkeypatch):
         np.testing.assert_array_equal(ua.links[: ua.n], ub.links[: ub.n])
 
     # and the graph still searches: oracle identity at clipped dim
-    flat = FlatIndex.from_numpy(vecs, "l2sqr")
+    flat = FlatIndex.from_numpy(vecs, dist)
     q = vecs[123]
     assert [p.index for p in b.knn(q, 5)] == [p.index for p in flat.knn(q, 5)]
