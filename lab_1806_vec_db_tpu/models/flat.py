@@ -30,10 +30,13 @@ from ..utils.candidates import CandidatePair, pairs_from_arrays
 #   "exact" — single-pass full-f32 scan everywhere (ground-truth mode).
 _SCAN_MODE = os.environ.get("VECDB_TPU_SCAN", "int8")
 _EXACT_BELOW = 8192  # small sets: exact scan is cheap and compile-stable
-_RERANK_MULT = 4  # stage-1 candidates per requested neighbor (floor 32):
-# measured at N=1e6 dim=960 clustered, r=32..80 all hold recall@10=0.9993 —
-# the packed scan's candidate ordering is good enough that extra rerank
-# depth only adds DMA traffic
+_RERANK_MULT = int(os.environ.get("VECDB_TPU_RERANK_MULT", "4"))
+# stage-1 candidates per requested neighbor (floor 32): measured at N=1e6
+# dim=960 clustered, r=32..80 all hold recall@10=0.9993 — the packed scan's
+# candidate ordering is good enough that extra rerank depth only adds DMA
+# traffic.  Beyond 1M rows the depth scales with log2(N/1M): twice the rows
+# means more near-boundary competitors for the same r, and the DMA rerank
+# is ~1 ms per 40 rows/query at B=1000 — cheap insurance.
 _PCA_DIM = int(os.environ.get("VECDB_TPU_PCA_DIM", "256"))
 _RERANK_MULT_PCA = int(os.environ.get("VECDB_TPU_RERANK_PCA", "16"))  # floor 128
 
@@ -115,7 +118,10 @@ class FlatIndex:
                 )
             vecs, cache = self.store.device()
             return T.knn_scan(q, vecs, cache, jnp.int32(n), k, self.dist)
-        r = min(max(_RERANK_MULT * k, 32), n)
+        mult = _RERANK_MULT
+        if n > 1_500_000:  # log2 depth growth past ~1M (see knob comment)
+            mult = _RERANK_MULT * max(1, int(np.log2(n / 1_000_000)) + 1)
+        r = min(max(mult * k, 32), n)
         if _SCAN_MODE == "pca" and _PCA_DIM < self.dim:
             from ..ops import project as PJ
 
