@@ -256,13 +256,18 @@ def bench_ivf_big(n: int, k: int, n_queries: int, n_probes: int) -> dict:
 
     dim = 960
     nlist = 256 * max(1, round(n / 1_000_000))
-    log(f"lean ingest: N={n} dim={dim} nlist={nlist} probes={n_probes}")
+    # past ~2.5M the scan-layout mode OOMs building the binned search's
+    # second (cluster-sorted) mirror copy; the ingest-sorted layout holds
+    # one copy only (~4M rows/chip) but cannot serve the full-scan kernel
+    mirror = "sorted" if n > 2_500_000 else "scan"
+    log(f"lean ingest: N={n} dim={dim} nlist={nlist} probes={n_probes} mirror={mirror}")
     fill, queries_fn = make_fill(0, dim)
     q_dev = jnp.asarray(queries_fn(n_queries))
 
     t0 = time.perf_counter()
     idx = IVFIndex.from_device_blocks(
-        fill, n, dim, "l2sqr", IVFConfig(k=nlist, k_means_max_iter=10), seed=0
+        fill, n, dim, "l2sqr", IVFConfig(k=nlist, k_means_max_iter=10), seed=0,
+        mirror=mirror,
     )
     build_s = time.perf_counter() - t0
     log(f"lean IVF build in {build_s:.1f}s")
@@ -272,12 +277,15 @@ def bench_ivf_big(n: int, k: int, n_queries: int, n_probes: int) -> dict:
     gt_ids = exact_gt_blocked(fill, n, q_dev, k, "l2sqr", 131072)
     log(f"ground truth in {time.perf_counter()-t0:.1f}s")
 
-    # warm both paths
+    # warm both paths (full scan needs the random-permutation layout)
     d, ids = idx._knn_device_binned(q_dev, k, n_probes)
     recall_ivf = recall_at_k(gt_ids, np.asarray(ids), k)
-    flat = FlatIndex.from_store(idx.store)
-    _, ids_f = flat._knn_device(q_dev, k)
-    recall_flat = recall_at_k(gt_ids, np.asarray(ids_f), k)
+    flat = None
+    recall_flat = None
+    if mirror == "scan":
+        flat = FlatIndex.from_store(idx.store)
+        _, ids_f = flat._knn_device(q_dev, k)
+        recall_flat = recall_at_k(gt_ids, np.asarray(ids_f), k)
 
     def chained_qps(step):
         reps, rounds = 6, 4
@@ -293,11 +301,15 @@ def bench_ivf_big(n: int, k: int, n_queries: int, n_probes: int) -> dict:
         return n_queries / best
 
     qps_ivf = chained_qps(lambda q: idx._knn_device_binned(q, k, n_probes))
-    qps_flat = chained_qps(lambda q: flat._knn_device(q, k))
-    log(
-        f"binned IVF: {qps_ivf:.0f} QPS @ recall {recall_ivf:.4f} | "
-        f"full scan: {qps_flat:.0f} QPS @ recall {recall_flat:.4f}"
-    )
+    qps_flat = None
+    if flat is not None:
+        qps_flat = chained_qps(lambda q: flat._knn_device(q, k))
+        log(
+            f"binned IVF: {qps_ivf:.0f} QPS @ recall {recall_ivf:.4f} | "
+            f"full scan: {qps_flat:.0f} QPS @ recall {recall_flat:.4f}"
+        )
+    else:
+        log(f"binned IVF: {qps_ivf:.0f} QPS @ recall {recall_ivf:.4f}")
     return {
         "metric": "lean_ivf_binned_qps",
         "value": round(qps_ivf, 1),
@@ -310,8 +322,9 @@ def bench_ivf_big(n: int, k: int, n_queries: int, n_probes: int) -> dict:
         "n_probes": n_probes,
         "batch": n_queries,
         "build_seconds": round(build_s, 1),
-        "full_scan_qps": round(qps_flat, 1),
-        "full_scan_recall_at_10": round(recall_flat, 4),
+        "mirror": mirror,
+        "full_scan_qps": round(qps_flat, 1) if qps_flat is not None else None,
+        "full_scan_recall_at_10": round(recall_flat, 4) if recall_flat is not None else None,
         "baseline": "Gist1M HNSW ef=120 multi-threaded CPU, 6514 QPS @ recall 0.8504 (data/t_bench.toml)",
         "note": "lean tier (permuted int8 mirror + bf16 DMA-rerank slab, no f32 on device); exact f32 GT by deterministic block regeneration; QPS best-of-rounds chained",
     }

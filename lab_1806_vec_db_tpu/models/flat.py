@@ -102,6 +102,16 @@ class FlatIndex:
             q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
         n = len(self.store)
         lean = self.store.tier == "lean"
+        if getattr(self.store, "_mirror_layout", "scan") == "sorted":
+            # ingest-sorted mirror (IVFIndex.from_device_blocks(mirror=
+            # "sorted")): posting order concentrates a query's neighbors
+            # into few 128-row chunks, which collapses the chunk-min
+            # survivor statistics the full scan depends on
+            raise RuntimeError(
+                "store's int8 mirror is cluster-sorted (binned-IVF scale "
+                "layout); the full scan requires the randomly-permuted "
+                "layout — search via IVFIndex instead"
+            )
         if exact is None:
             exact = not lean and (_SCAN_MODE == "exact" or n <= _EXACT_BELOW)
             if not exact and _SCAN_MODE in ("int8", "pca"):

@@ -58,6 +58,36 @@ def _build_posting(assign: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return posting, counts
 
 
+def _sorted_layout(
+    posting: np.ndarray, posting_len: np.ndarray, k: int
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Cluster-sorted mirror layout for the binned scan.
+
+    Returns (lpad, perm_pad, ov_ids): each posting list occupies one
+    contiguous `lpad`-row segment (`perm_pad[slot] = original id`, -1 on
+    pads); lists are capped at the padded `_LCAP_QUANTILE` length and the
+    tails spill into the shared overflow segment `ov_ids` (scanned by every
+    query, so spilled rows stay findable regardless of probe choice).
+    """
+    lens = posting_len
+    l_q = int(np.quantile(lens, _LCAP_QUANTILE)) if len(lens) else 1
+    lpad = max(_LPAD_MULT, ((l_q + _LPAD_MULT - 1) // _LPAD_MULT) * _LPAD_MULT)
+    perm_pad = np.full((k * lpad,), -1, dtype=np.int32)
+    ov_ids = []
+    for l in range(k):
+        c = int(lens[l])
+        kept = min(c, lpad)
+        perm_pad[l * lpad : l * lpad + kept] = posting[l, :kept]
+        if c > lpad:
+            ov_ids.append(posting[l, lpad:c])
+    ov = (
+        np.concatenate(ov_ids).astype(np.int32)
+        if ov_ids
+        else np.zeros((0,), np.int32)
+    )
+    return lpad, perm_pad, ov
+
+
 from functools import partial as _partial
 import jax as _jax
 
@@ -112,7 +142,8 @@ def _binned_search_jit(
     qc_b = q_cache[bc][:, None, :]
 
     packed = PS.scan_chunkmin_int8_binned(
-        qbT, qs2_b, qc_b, q8s, scale_s, cache_s, dist, interpret=interpret
+        qbT, qs2_b, qc_b, q8s, scale_s, cache_s, dist,
+        interpret=interpret, lpad=lpad,
     )  # (nlist*spl, QB)
 
     # regroup: query b's survivors live in column slots[b,j] of list
@@ -285,6 +316,7 @@ class IVFIndex:
         seed: int = 0,
         rerank_dtype=jnp.bfloat16,
         block_rows: int = 131072,
+        mirror: str = "scan",
     ) -> "IVFIndex":
         """Memory-LEAN build for datasets whose f32 form exceeds device HBM
         (see VecStore.from_device_blocks): k-means trains on the first
@@ -292,10 +324,24 @@ class IVFIndex:
         device, and only the int8 scan mirror + reduced-precision rerank
         slab persist.  This is the intended ingest for the binned-IVF scale
         path at N >= ~2e6 per chip, where the full tier cannot hold the f32
-        canonical copy + f32 rerank slab."""
+        canonical copy + f32 rerank slab.
+
+        `mirror="scan"` (default) keeps the randomly-permuted full-scan
+        mirror; the binned search then gathers a SECOND, cluster-sorted
+        copy on first use — double residency that bounds this mode to
+        ~2M rows per 16 GB chip.  `mirror="sorted"` instead lays the
+        mirror out in posting order AT INGEST (two passes over `fill`:
+        assign-only, then quantize-and-scatter straight into sorted
+        slots), so the binned search runs zero-copy — ~4M rows per chip.
+        A sorted mirror breaks the full-scan kernel's survivor statistics,
+        so FlatIndex refuses such stores; the binned IVF path is the point
+        at that scale anyway (it beats the linear-cost full scan past
+        ~3M rows)."""
         import jax
         from .store import VecStore
 
+        if mirror not in ("scan", "sorted"):
+            raise ValueError(f"mirror must be 'scan' or 'sorted', got {mirror!r}")
         n_train = min(config.k_means_size or block_rows, n, block_rows)
         train = fill(0, n_train)
         centroids_dev = KM.kmeans_fit(
@@ -313,6 +359,33 @@ class IVFIndex:
         def assign_fn(v, row0):
             a = KM.find_nearest(v, centroids_dev, dist)
             assign[row0 : row0 + v.shape[0]] = np.asarray(a)
+
+        if mirror == "sorted":
+            # pass A: assignment only (no store writes) — the sorted slot
+            # of a row depends on the full posting layout
+            for row0 in range(0, n, block_rows):
+                rows = min(block_rows, n - row0)
+                v = fill(row0, rows)
+                assign_fn(v, row0)
+                del v
+            posting, counts = _build_posting(assign, config.k)
+            lpad, perm_pad, ov_h = _sorted_layout(posting, counts, config.k)
+            kl = config.k * lpad
+            cap = kl + len(ov_h)
+            # full mirror permutation: perm[slot] = original id.  Valid ids
+            # (one slot each: capped prefix or overflow) + filler ids
+            # n..cap-1 on pad slots (never written -> keep the sentinel).
+            perm_full = np.empty(cap, np.int32)
+            perm_full[:kl] = perm_pad
+            perm_full[kl:] = ov_h
+            pad_slots = np.flatnonzero(perm_full < 0)
+            perm_full[pad_slots] = np.arange(n, cap, dtype=np.int32)
+            store = VecStore.from_device_blocks(
+                fill, n, dim, dist,
+                rerank_dtype=rerank_dtype, block_rows=block_rows,
+                perm=perm_full, cap=cap,
+            )
+            return cls(store, config, np.asarray(centroids_dev), posting, counts)
 
         store = VecStore.from_device_blocks(
             fill, n, dim, dist,
@@ -348,17 +421,33 @@ class IVFIndex:
             from ..ops.pallas_scan import _BIG
 
             k = self.config.k
-            lens = self.posting_len
-            l_q = int(np.quantile(lens, _LCAP_QUANTILE)) if len(lens) else 1
-            lpad = max(_LPAD_MULT, ((l_q + _LPAD_MULT - 1) // _LPAD_MULT) * _LPAD_MULT)
-            perm_pad = np.full((k * lpad,), -1, dtype=np.int32)
-            ov_ids = []
-            for l in range(k):
-                c = int(lens[l])
-                kept = min(c, lpad)
-                perm_pad[l * lpad : l * lpad + kept] = self.posting[l, :kept]
-                if c > lpad:
-                    ov_ids.append(self.posting[l, lpad:c])
+            if getattr(self.store, "_mirror_layout", "scan") == "sorted":
+                # ingest-sorted mirror (from_device_blocks(mirror="sorted")):
+                # the store's int8 mirror IS the sorted layout — zero-copy
+                # views for the binned kernel (which reads only the first
+                # k*lpad rows via its grid), one small slice for overflow.
+                # This avoids the double-residency gather below, which is
+                # what bounds the scan-layout path to ~2M rows per chip.
+                import jax
+
+                lpad, perm_pad, ov_h = _sorted_layout(
+                    self.posting, self.posting_len, k
+                )
+                q8_all, scales, cache, _ = self.store.device_int8()
+                kl = k * lpad
+                ov = None
+                n_ov = len(ov_h)
+                if n_ov:
+                    q8_ov = jax.lax.dynamic_slice_in_dim(q8_all, kl, n_ov)
+                    scale_ov = jax.lax.dynamic_slice_in_dim(scales, kl, n_ov)
+                    cache_ov = jax.lax.dynamic_slice_in_dim(cache, kl, n_ov)
+                    ov = (q8_ov, scale_ov, cache_ov, jnp.asarray(ov_h))
+                self._dev_binned = (
+                    q8_all, scales, cache, jnp.asarray(perm_pad), lpad, ov,
+                )
+                return self._dev_binned
+
+            lpad, perm_pad, ov_h = _sorted_layout(self.posting, self.posting_len, k)
             q8_all, scales, cache = self.store.device_int8()[:3]
             # the int8 mirror is scan-permuted; translate original ids to
             # mirror rows on the host before gathering.  Gathered valid rows
@@ -373,10 +462,9 @@ class IVFIndex:
             scale_sorted = jnp.where(valid, scales[clamped], 0.0)
             cache_sorted = jnp.where(valid, cache[clamped], jnp.float32(_BIG))
             ov = None
-            if ov_ids:
-                pov_h = np.concatenate(ov_ids).astype(np.int32)
-                rows_m = jnp.asarray(inv[pov_h])
-                ov = (q8_all[rows_m], scales[rows_m], cache[rows_m], jnp.asarray(pov_h))
+            if len(ov_h):
+                rows_m = jnp.asarray(inv[ov_h])
+                ov = (q8_all[rows_m], scales[rows_m], cache[rows_m], jnp.asarray(ov_h))
             import jax
 
             jax.block_until_ready(q8_sorted)

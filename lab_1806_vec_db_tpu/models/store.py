@@ -250,6 +250,8 @@ class VecStore:
         rerank_dtype=jnp.bfloat16,
         block_rows: int = 131072,
         assign_fn=None,
+        perm: "np.ndarray | None" = None,
+        cap: int | None = None,
     ) -> "VecStore":
         """Memory-LEAN ingest for datasets whose f32 form exceeds device
         HBM: stream `fill(row0, rows) -> (rows, dim) f32 device block`
@@ -267,6 +269,17 @@ class VecStore:
 
         `assign_fn(v, row0)` is an optional per-block callback (e.g. IVF
         cluster assignment) run on each f32 block before it is discarded.
+
+        `perm`/`cap` inject a CUSTOM mirror layout: `perm[slot] = original
+        id` (a permutation of `cap >= n` rows; slots of ids >= n are never
+        written and keep the losing sentinel).  The binned-IVF scale path
+        uses this to lay the mirror out in cluster-sorted posting order AT
+        INGEST (`IVFIndex.from_device_blocks(mirror="sorted")`), which
+        removes the double-residency gather `_device_sorted` would
+        otherwise need — the difference between 2M and 4M rows per chip.
+        A custom layout breaks the full-scan kernel's survivor statistics
+        (it assumes a random permutation), so the store records
+        `_mirror_layout = "sorted"` and the flat scan refuses it.
         """
         from ..ops import topk as T
         from ..ops import pallas_gather as PG
@@ -278,8 +291,11 @@ class VecStore:
         store.dist = dist
         store.dtype = np.dtype(np.float32)
         store._n = int(n)
-        store._cap = -(-int(n) // 16384) * 16384
+        store._cap = int(cap) if cap is not None else -(-int(n) // 16384) * 16384
+        if store._cap < n:
+            raise ValueError(f"cap {store._cap} < n {n}")
         store._tier = "lean"
+        store._mirror_layout = "sorted" if perm is not None else "scan"
         store._data = None
         store._dev = None
         store._dev_cache = None
@@ -289,9 +305,14 @@ class VecStore:
         store._dirty_rows = set()
         store._dev_full_dirty = False
         cap = store._cap
-
-        rng = np.random.default_rng(cap ^ 0x5EED)
-        store._scan_perm = rng.permutation(cap).astype(np.int32)
+        if perm is not None:
+            perm = np.asarray(perm, dtype=np.int32)
+            if perm.shape != (cap,):
+                raise ValueError(f"perm shape {perm.shape} != ({cap},)")
+            store._scan_perm = perm
+        else:
+            rng = np.random.default_rng(cap ^ 0x5EED)
+            store._scan_perm = rng.permutation(cap).astype(np.int32)
         store._scan_inv = np.empty(cap, np.int32)
         store._scan_inv[store._scan_perm] = np.arange(cap, dtype=np.int32)
 
@@ -300,7 +321,10 @@ class VecStore:
         q8 = jnp.zeros((cap, dim_pad), jnp.int8)
         scale = jnp.zeros((cap,), jnp.float32)
         cache_ch = jnp.full((cap,), _BIG, jnp.float32)  # sentinel everywhere
-        slab = jnp.zeros((cap * sr, 128), rerank_dtype)
+        # the slab is indexed by ORIGINAL id (< n), so it never needs the
+        # mirror's layout padding (a sorted layout can inflate cap ~1.2x)
+        slab_cap = -(-int(n) // 16384) * 16384
+        slab = jnp.zeros((slab_cap * sr, 128), rerank_dtype)
         inv_dev = jnp.asarray(store._scan_inv)
 
         verdict = None

@@ -576,7 +576,7 @@ def _scan_kernel_int8_binned(
     out_ref[:] = m
 
 
-@functools.partial(jax.jit, static_argnames=("dist", "interpret"))
+@functools.partial(jax.jit, static_argnames=("dist", "interpret", "lpad"))
 def scan_chunkmin_int8_binned(
     qbT: jax.Array,  # (nlist, dim, QB) int8 — per-list binned queries
     qs2_b: jax.Array,  # (nlist, 1, QB) f32
@@ -586,6 +586,7 @@ def scan_chunkmin_int8_binned(
     base_cache: jax.Array,  # (nlist * Lpad,) f32, +BIG on padded rows
     dist: str,
     interpret: bool = False,
+    lpad: int | None = None,
 ) -> jax.Array:
     """Segmented packed group-min: every list scanned once against its bin.
 
@@ -593,10 +594,17 @@ def scan_chunkmin_int8_binned(
     (nlist * Lpad/_GS, QB) int32 packed survivors; survivor row m of list l
     decodes to sorted row l*Lpad + (m//_SPT)*_NB_BIN + (m%_SPT)
     + low_bits*_SPT (the caller's regroup implements this).
+
+    `lpad` may be passed explicitly when `base_i8` carries extra tail rows
+    beyond `nlist * Lpad` (the ingest-sorted mirror stores the overflow
+    segment and capacity padding in the same array; the grid simply never
+    reads past `nlist * Lpad`).
     """
     nlist, dim, QB = qbT.shape
     total = base_i8.shape[0]
-    lpad = total // nlist
+    if lpad is None:
+        lpad = total // nlist
+    assert nlist * lpad <= total, (nlist, lpad, total)
     assert lpad % _NB_BIN == 0, (lpad, _NB_BIN)
     gpl = lpad // _NB_BIN  # grid steps per list
     G = nlist * gpl

@@ -81,3 +81,35 @@ def test_lean_binned_ivf_recall():
     qp = jnp.asarray(np.pad(qs, ((0, 0), (0, 0))))
     d, ids = idx._knn_device_binned(qp, k, 4, interpret=True)
     assert _recall(gt, np.asarray(ids), k) >= 0.85
+
+
+def test_sorted_mirror_matches_scan_mirror():
+    """mirror="sorted" (ingest-time cluster-sorted layout, the >2M-rows
+    scale path) must produce the same binned search results as the default
+    scan-layout mode: same blocks -> same int8 rows and same sorted layout,
+    so the whole pipeline is value-identical."""
+    N, dim, k = 6000, 64, 10
+    base, qs = _clustered(N, dim, 16, seed=5)
+
+    def fill(row0, rows):
+        return jnp.asarray(base[row0 : row0 + rows])
+
+    kw = dict(seed=0, block_rows=2048)
+    idx_scan = IVFIndex.from_device_blocks(
+        fill, N, dim, "l2sqr", IVFConfig(k=16), **kw
+    )
+    idx_sorted = IVFIndex.from_device_blocks(
+        fill, N, dim, "l2sqr", IVFConfig(k=16), mirror="sorted", **kw
+    )
+    assert idx_sorted.store._mirror_layout == "sorted"
+    assert np.array_equal(idx_scan.posting, idx_sorted.posting)
+
+    qp = jnp.asarray(qs)
+    d1, i1 = idx_scan._knn_device_binned(qp, k, 4, interpret=True)
+    d2, i2 = idx_sorted._knn_device_binned(qp, k, 4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=0, atol=0)
+
+    # the full scan is statistically broken on a sorted layout: refused
+    with pytest.raises(RuntimeError, match="sorted"):
+        FlatIndex.from_store(idx_sorted.store)._knn_device(qp, k)
