@@ -9,6 +9,7 @@ Mirrors the reference's Python integration suite:
 """
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -242,3 +243,73 @@ def test_brief_toml_roundtrip(tmp_path):
     b.save(p)
     loaded = _Brief.load(p)
     assert loaded.tables == b.tables
+
+
+def test_readers_overlap():
+    """Two read() holders on one ThreadSavingManager must overlap in
+    wall-clock (many-readers RwLock semantics, reference mod.rs:157) —
+    with an exclusive lock the rendezvous below would deadlock."""
+    from lab_1806_vec_db_tpu.db.thread_save import ThreadSavingManager
+
+    class Obj:
+        def save(self, path):
+            pass
+
+    mgr = ThreadSavingManager(Obj(), target="/dev/null", interval=60.0, mark=False)
+    barrier = threading.Barrier(2, timeout=5.0)
+    errors = []
+
+    def reader():
+        try:
+            with mgr.read():
+                barrier.wait()  # both threads must be INSIDE read() at once
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10.0)
+    mgr.close()
+    assert not errors, errors
+
+
+def test_writer_excludes_readers_and_marks_dirty(tmp_path):
+    """write() is exclusive against read(), sets the dirty mark, and the
+    background saver persists after the writer releases."""
+    from lab_1806_vec_db_tpu.db.thread_save import ThreadSavingManager
+
+    saved = []
+
+    class Obj:
+        def save(self, path):
+            saved.append(path)
+
+    mgr = ThreadSavingManager(Obj(), target=str(tmp_path / "x"), interval=60.0, mark=False)
+    state = {"inside_write": False, "violation": False}
+    in_write = threading.Event()
+
+    def writer():
+        with mgr.write():
+            state["inside_write"] = True
+            in_write.set()
+            time.sleep(0.2)
+            state["inside_write"] = False
+
+    def reader():
+        in_write.wait(timeout=5.0)
+        with mgr.read():
+            if state["inside_write"]:
+                state["violation"] = True
+
+    tw = threading.Thread(target=writer)
+    tr = threading.Thread(target=reader)
+    tw.start()
+    tr.start()
+    tw.join(timeout=10.0)
+    tr.join(timeout=10.0)
+    assert not state["violation"]
+    mgr.sync_save(stop_thread=False)  # dirty mark set by write() -> must save
+    assert saved
+    mgr.close()
