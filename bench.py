@@ -326,7 +326,11 @@ def bench_ivf_big(n: int, k: int, n_queries: int, n_probes: int) -> dict:
         "full_scan_qps": round(qps_flat, 1) if qps_flat is not None else None,
         "full_scan_recall_at_10": round(recall_flat, 4) if recall_flat is not None else None,
         "baseline": "Gist1M HNSW ef=120 multi-threaded CPU, 6514 QPS @ recall 0.8504 (data/t_bench.toml)",
-        "note": "lean tier (permuted int8 mirror + bf16 DMA-rerank slab, no f32 on device); exact f32 GT by deterministic block regeneration; QPS best-of-rounds chained",
+        "note": (
+            f"lean tier ({'cluster-sorted' if mirror == 'sorted' else 'permuted'} "
+            "int8 mirror + bf16 DMA-rerank slab, no f32 on device); exact f32 GT "
+            "by deterministic block regeneration; QPS best-of-rounds chained"
+        ),
     }
 
 

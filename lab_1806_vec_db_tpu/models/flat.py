@@ -57,6 +57,14 @@ class FlatIndex:
 
     @classmethod
     def from_store(cls, store: VecStore) -> "FlatIndex":
+        if getattr(store, "_mirror_layout", "scan") == "sorted":
+            # fail at construction, not first search: the cluster-sorted
+            # mirror breaks the full scan's survivor statistics (see
+            # _knn_device) and such stores belong to IVFIndex
+            raise ValueError(
+                "store's int8 mirror is cluster-sorted (binned-IVF scale "
+                "layout); FlatIndex requires the randomly-permuted layout"
+            )
         idx = cls.__new__(cls)
         idx.store = store
         return idx

@@ -209,7 +209,11 @@ def _binned_search_jit(
         orig = jnp.concatenate([orig, orig_ov], axis=1)
 
     d, i = PG.rerank_topk_rs(qp, base_rs, orig, k, dist, interpret=interpret)
-    return d[:B], i[:B]
+    # telemetry: (query, list) pairs dropped by bin overflow (> _QB real
+    # queries probing one list).  Only real queries count — the pad rows
+    # route to the sentinel list whose bin is discarded anyway.
+    n_dropped = jnp.sum(dropped[:B].astype(jnp.int32))
+    return d[:B], i[:B], n_dropped
 
 
 class IVFIndex:
@@ -234,6 +238,11 @@ class IVFIndex:
         # (q8_sorted, scale_sorted, cache_sorted, perm_pad, lpad) for the
         # batched binned scan; built lazily on first large-batch search
         self._dev_binned = None
+        # bin-overflow telemetry (see _note_drops): dropped (query, list)
+        # probe pairs of the last binned batch / cumulatively
+        self._pending_drop_count = None
+        self.last_dropped_pairs = 0
+        self.dropped_pairs_total = 0
 
     @property
     def dim(self) -> int:
@@ -435,6 +444,17 @@ class IVFIndex:
                 )
                 q8_all, scales, cache, _ = self.store.device_int8()
                 kl = k * lpad
+                if kl + len(ov_h) != self.store._cap:
+                    # the recomputed layout must be the one the ingest used
+                    # (same posting/config.k); otherwise the binned search
+                    # would silently decode wrong ids
+                    raise ValueError(
+                        "sorted-mirror layout mismatch: recomputed "
+                        f"k*lpad+overflow = {kl + len(ov_h)} but the store "
+                        f"was ingested with capacity {self.store._cap}; "
+                        "this IVFIndex was not built over this store's "
+                        "posting layout"
+                    )
                 ov = None
                 n_ov = len(ov_h)
                 if n_ov:
@@ -499,13 +519,37 @@ class IVFIndex:
             cache_ov = jnp.zeros((0,), jnp.float32)
             perm_ov = jnp.zeros((0,), jnp.int32)
         use_pallas_ov = jax.default_backend() != "cpu" or interpret
-        return _binned_search_jit(
+        d, i, n_dropped = _binned_search_jit(
             q_dev, centroids, q8s, scale_s, cache_s, perm_pad, base_rs,
             q8_ov, scale_ov, cache_ov, perm_ov,
             nlist=nlist, n_probes=n_probes, k=k, lpad=lpad, dist=self.dist,
             interpret=interpret, use_pallas_ov=use_pallas_ov,
             has_overflow=overflow is not None,
         )
+        self._pending_drop_count = n_dropped  # device scalar; read lazily
+        return d, i
+
+    def _note_drops(self) -> None:
+        """Fold the last batch's bin-overflow drop count into the counters
+        (host sync of one scalar; called after results are fetched so it
+        never adds a round-trip on the hot path)."""
+        nd = self._pending_drop_count
+        if nd is None:
+            return
+        self._pending_drop_count = None
+        n = int(nd)
+        self.last_dropped_pairs = n
+        self.dropped_pairs_total += n
+        if n:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "binned IVF: %d (query, list) probe pairs dropped by bin "
+                "overflow (> %d queries probing one list); recall on the "
+                "affected queries is degraded — lower the batch size or "
+                "raise nlist for this workload (total dropped: %d)",
+                n, _QB, self.dropped_pairs_total,
+            )
 
     def knn_batch(self, queries: np.ndarray, k: int, n_probes: int | None = None):
         n_probes = n_probes or self.default_n_probes
@@ -523,7 +567,9 @@ class IVFIndex:
             # re-read shared rows B times over).  Gated on the int8
             # ordering self-test like the Flat/HNSW int8 paths.
             d, i = self._knn_device_binned(q_dev, k, n_probes)
-            return np.asarray(d), np.asarray(i)
+            d, i = np.asarray(d), np.asarray(i)
+            self._note_drops()
+            return d, i
         centroids, posting = self._device()
         _, probe_ids = KM.find_n_nearest(q_dev, centroids, n_probes, self.dist)
         cand = posting[probe_ids]  # (B, n_probes, Lmax)

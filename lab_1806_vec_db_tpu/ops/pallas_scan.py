@@ -604,8 +604,13 @@ def scan_chunkmin_int8_binned(
     total = base_i8.shape[0]
     if lpad is None:
         lpad = total // nlist
-    assert nlist * lpad <= total, (nlist, lpad, total)
-    assert lpad % _NB_BIN == 0, (lpad, _NB_BIN)
+    if nlist * lpad > total:
+        raise ValueError(
+            f"binned scan layout overruns the base array: nlist={nlist} * "
+            f"lpad={lpad} > total rows {total}"
+        )
+    if lpad % _NB_BIN != 0:
+        raise ValueError(f"lpad={lpad} must be a multiple of {_NB_BIN}")
     gpl = lpad // _NB_BIN  # grid steps per list
     G = nlist * gpl
     SB = _SPT

@@ -111,5 +111,6 @@ def test_sorted_mirror_matches_scan_mirror():
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=0, atol=0)
 
     # the full scan is statistically broken on a sorted layout: refused
-    with pytest.raises(RuntimeError, match="sorted"):
-        FlatIndex.from_store(idx_sorted.store)._knn_device(qp, k)
+    # at CONSTRUCTION (fail-fast, close to the cause)
+    with pytest.raises(ValueError, match="sorted"):
+        FlatIndex.from_store(idx_sorted.store)
