@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..models import FlatIndex, HNSWIndex, PQTable
+from ..models.base import IndexBuilder, IndexKNN, IndexKNNWithEf, IndexPQ
 from ..utils.config import HNSWConfig
 
 
@@ -35,9 +36,13 @@ class DynamicIndex:
 
     # ---- mutation ----
     def add(self, vec) -> int:
+        if not isinstance(self.inner, IndexBuilder):
+            raise TypeError(f"{type(self.inner).__name__} is not incrementally buildable")
         return self.inner.add(vec)
 
     def batch_add(self, vecs) -> list[int]:
+        if not isinstance(self.inner, IndexBuilder):
+            raise TypeError(f"{type(self.inner).__name__} is not incrementally buildable")
         return self.inner.batch_add(vecs)
 
     # ---- index lifecycle ----
@@ -65,14 +70,23 @@ class DynamicIndex:
         self.inner = FlatIndex.from_store(hnsw.store)
 
     # ---- search dispatch (dynamic_index.rs:61-93) ----
+    # Dispatch is by capability protocol (models/base.py), the structural
+    # analog of the reference's trait-bound dispatch
+    # (src/index_algorithm/mod.rs:35-154): an index that lacks a capability
+    # degrades to the next one down instead of raising AttributeError.
     def knn(self, query, k: int):
+        assert isinstance(self.inner, IndexKNN)
         return self.inner.knn(query, k)
 
     def knn_with_ef(self, query, k: int, ef: int):
+        if isinstance(self.inner, IndexKNNWithEf) and self.is_hnsw:
+            return self.inner.knn_with_ef(query, k, ef)
         # Flat ignores ef (dynamic_index.rs:75-80)
-        return self.inner.knn_with_ef(query, k, ef)
+        return self.inner.knn(query, k)
 
     def knn_pq(self, query, k: int, ef: int, pq: PQTable):
+        if not isinstance(self.inner, IndexPQ):
+            raise TypeError(f"{type(self.inner).__name__} has no PQ-accelerated search")
         return self.inner.knn_pq(query, k, ef, pq)
 
     # ---- serde ----
