@@ -29,7 +29,9 @@ class VecDB:
     def __init__(self, dir: str) -> None:
         """Open (creating if needed) the database directory."""
 
-    def create_table_if_not_exists(self, key: str, dim: int, dist: str = "cosine") -> bool:
+    def create_table_if_not_exists(
+        self, key: str, dim: int, dist: str = "cosine", data_type: str = "float32"
+    ) -> bool:
         """Create a table; returns False if it already existed.
 
         Raises:

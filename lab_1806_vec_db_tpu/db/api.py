@@ -55,8 +55,13 @@ class VecDB:
         self._inner = VecDBManager(dir)
 
     @_runtime_wrap
-    def create_table_if_not_exists(self, key: str, dim: int, dist: str = "cosine") -> bool:
-        return self._inner.create_table_if_not_exists(key, dim, dist)
+    def create_table_if_not_exists(
+        self, key: str, dim: int, dist: str = "cosine", data_type: str = "float32"
+    ) -> bool:
+        """TPU-native extension over the reference stub: `data_type`
+        ("float32" | "uint8") selects the table dtype; uint8 tables store
+        raw bytes and search with exact int8-MXU distances (Flat only)."""
+        return self._inner.create_table_if_not_exists(key, dim, dist, data_type)
 
     @_runtime_wrap
     def get_len(self, key: str) -> int:

@@ -10,14 +10,23 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..models import FlatIndex, HNSWIndex, PQTable
+from ..models import FlatIndex, FlatIndexU8, HNSWIndex, PQTable
 from ..models.base import IndexBuilder, IndexKNN, IndexKNNWithEf, IndexPQ
 from ..utils.config import HNSWConfig
 
 
 class DynamicIndex:
-    def __init__(self, dim: int, dist: str):
-        self.inner: FlatIndex | HNSWIndex = FlatIndex(dim, dist)
+    def __init__(self, dim: int, dist: str, data_type: str = "float32"):
+        # runtime-dtype dispatch, the DB-layer face of the reference's
+        # DynamicVecSet (src/vec_set.rs:237-263): uint8 tables hold the
+        # exact-int8-MXU flat index and never cast the set to f32
+        if data_type == "uint8":
+            self.inner: FlatIndex | FlatIndexU8 | HNSWIndex = FlatIndexU8(dim, dist)
+        elif data_type == "float32":
+            self.inner = FlatIndex(dim, dist)
+        else:
+            raise ValueError(f"Unsupported data_type: {data_type!r}")
+        self.data_type = data_type
 
     @property
     def dim(self) -> int:
@@ -51,6 +60,8 @@ class DynamicIndex:
         (metadata_vec_table.rs:84-98)."""
         if self.is_hnsw:
             return
+        if self.data_type == "uint8":
+            raise RuntimeError("HNSW index requires a float32 table")
         flat: FlatIndex = self.inner
         cfg = HNSWConfig(max_elements=len(flat))
         if ef_construction is not None:
@@ -98,6 +109,11 @@ class DynamicIndex:
         self = cls.__new__(cls)
         if meta["algorithm"] == "HNSW":
             self.inner = HNSWIndex.from_state(arrays, meta)
+            self.data_type = "float32"
+        elif meta["algorithm"] == "FlatU8":
+            self.inner = FlatIndexU8.from_state(arrays, meta)
+            self.data_type = "uint8"
         else:
             self.inner = FlatIndex.from_state(arrays, meta)
+            self.data_type = "float32"
         return self

@@ -177,7 +177,9 @@ class VecDBManager:
         if mgr is not None:
             mgr.close()
 
-    def create_table_if_not_exists(self, key: str, dim: int, dist: str) -> bool:
+    def create_table_if_not_exists(
+        self, key: str, dim: int, dist: str, data_type: str = "float32"
+    ) -> bool:
         check_dist(dist)
         with self._brief_mgr.write() as brief:
             with self._tables_lock:
@@ -185,7 +187,7 @@ class VecDBManager:
                     return False
                 filename = brief.insert(key)
                 path = os.path.join(self.dir, filename)
-                table = MetadataVecTable(dim, dist)
+                table = MetadataVecTable(dim, dist, data_type=data_type)
                 mgr = ThreadSavingManager(table, path, TABLE_SAVE_INTERVAL, True)
                 self._tables[key] = mgr
                 return True

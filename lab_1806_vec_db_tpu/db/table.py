@@ -25,11 +25,30 @@ from ..utils.config import PQConfig
 
 
 class MetadataVecTable:
-    def __init__(self, dim: int, dist: str, seed: int | None = None):
+    def __init__(
+        self,
+        dim: int,
+        dist: str,
+        seed: int | None = None,
+        data_type: str = "float32",
+    ):
         self.metadata: list[dict[str, str]] = []
-        self.inner = DynamicIndex(dim, dist)
+        self.inner = DynamicIndex(dim, dist, data_type)
         self.pq: PQTable | None = None
         self._seed = seed
+
+    @property
+    def data_type(self) -> str:
+        return self.inner.data_type
+
+    def _cast_rows(self, vecs) -> np.ndarray:
+        """Cast input rows to the table dtype.  uint8 tables apply the
+        reference's `as u8` semantics — round toward zero, saturate
+        (src/scalar.rs:19-35)."""
+        a = np.atleast_2d(np.asarray(vecs, dtype=np.float64))
+        if self.data_type == "uint8":
+            return np.clip(np.trunc(np.nan_to_num(a)), 0, 255).astype(np.uint8)
+        return a.astype(np.float32)
 
     def __len__(self) -> int:
         return len(self.inner)
@@ -46,7 +65,7 @@ class MetadataVecTable:
     def add(self, vec, metadata: dict[str, str]) -> None:
         self.clear_pq_table()
         self.metadata.append(dict(metadata))
-        self.inner.add(vec)
+        self.inner.add(self._cast_rows(vec)[0])
 
     def batch_add(self, vec_list, metadata_list) -> None:
         if len(vec_list) != len(metadata_list):
@@ -55,7 +74,7 @@ class MetadataVecTable:
             return
         self.clear_pq_table()
         self.metadata.extend(dict(m) for m in metadata_list)
-        self.inner.batch_add(np.asarray(vec_list, dtype=np.float32))
+        self.inner.batch_add(self._cast_rows(vec_list))
 
     def delete(self, pattern: dict[str, str]) -> int:
         """Delete rows whose metadata matches all pattern keys exactly
@@ -94,6 +113,8 @@ class MetadataVecTable:
     ) -> None:
         if self.pq is not None:
             return
+        if self.data_type == "uint8":
+            raise RuntimeError("PQ table requires a float32 table")
         if len(self) == 0:
             raise RuntimeError("Cannot build PQ table for an empty table")
         proportion = 0.1 if train_proportion is None else train_proportion
@@ -133,6 +154,7 @@ class MetadataVecTable:
     ) -> list[tuple[dict[str, str], float]]:
         if len(self) == 0:
             return []
+        query = self._cast_rows(query)[0]
         if ef is not None and self.pq is not None:
             results = self.inner.knn_pq(query, k, ef, self.pq)
         elif ef is not None:
@@ -157,9 +179,7 @@ class MetadataVecTable:
         the whole query batch (the reference's multi-thread fan-out,
         examples/bench.rs:414-418, becomes device batching). Routing matches
         `search`."""
-        import numpy as np
-
-        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        queries = self._cast_rows(queries)
         if len(self) == 0:
             return [[] for _ in range(len(queries))]
         index = self.inner.inner

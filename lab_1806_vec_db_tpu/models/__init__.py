@@ -4,6 +4,7 @@ from .pq_table import PQTable
 from .ivf import IVFIndex
 from .hnsw import HNSWIndex
 from .kmeans import KMeans
+from .u8 import U8VecSet, FlatIndexU8
 from . import base, native
 
 __all__ = [
@@ -13,6 +14,8 @@ __all__ = [
     "IVFIndex",
     "HNSWIndex",
     "KMeans",
+    "U8VecSet",
+    "FlatIndexU8",
     "base",
     "native",
 ]
