@@ -218,13 +218,20 @@ class FlatIndex:
 
     def knn_pq_batch(self, queries: np.ndarray, k: int, ef: int, pq: PQTable):
         """ADC scan + exact rerank (flat_index.rs:84-104)."""
+        import jax
+
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         q_dev = jnp.asarray(queries)
         lookup, q_norms = pq.create_lookup(q_dev)
         n_cand = max(ef, k)
         _, cand_ids = pq.adc_scan(lookup, q_norms, n_cand)
-        vecs, cache = self.store.device()
-        d, i = T.knn_gathered(q_dev, vecs, cand_ids, k, self.dist, base_cache=cache)
+        if jax.default_backend() != "cpu":
+            from ..ops import pallas_gather as PG
+
+            d, i = PG.rerank_topk_rs(q_dev, self.store.device_rerank(), cand_ids, k, self.dist)
+        else:
+            vecs, cache = self.store.device()
+            d, i = T.knn_gathered(q_dev, vecs, cand_ids, k, self.dist, base_cache=cache)
         return np.asarray(d), np.asarray(i)
 
     def knn_pq(self, query, k: int, ef: int, pq: PQTable) -> list[CandidatePair]:

@@ -100,13 +100,30 @@ class PQTable:
     def __len__(self) -> int:
         return self.codes.shape[0]
 
+    @property
+    def packed(self) -> bool:
+        """4-bit tables keep their DEVICE codes nibble-packed (two codes per
+        byte, the reference's in-memory layout pq_table.rs:66-91) — half the
+        HBM for the n_bits=4 configs.  Consumers unpack in-register (Pallas
+        scan) or post-gather (`unpack_rows`)."""
+        return self.config.n_bits == 4
+
     # ---- device views ----
     def device(self):
         if self._dev_codes is None:
-            self._dev_codes = jnp.asarray(self.codes)
+            if self.packed:
+                self._dev_codes = jnp.asarray(P.pack_codes_4bit(self.codes))
+            else:
+                self._dev_codes = jnp.asarray(self.codes)
             self._dev_codebooks = jnp.asarray(self.codebooks)
             self._dev_cb_sqnorm = P.centroid_sqnorm_cache(self._dev_codebooks)
         return self._dev_codes, self._dev_codebooks, self._dev_cb_sqnorm
+
+    def unpack_rows(self, rows: jax.Array) -> jax.Array:
+        """Unpack gathered device code rows to (…, m) int codes."""
+        if self.packed:
+            return P.unpack_codes_4bit_dev(rows, self.config.m)
+        return rows
 
     def create_lookup(self, queries: jax.Array):
         """(B, dim) queries -> ((B, m, k) lookup, (B,) query norms).
@@ -124,9 +141,23 @@ class PQTable:
         return lookup, q_norms
 
     def adc_scan(self, lookup, q_norms, k_out: int):
-        """Full ADC scan over the encoded set -> (B, k_out) dists/ids."""
+        """Full ADC scan over the encoded set -> (B, k_out) dists/ids.
+
+        On TPU this is the Pallas one-hot-matmul kernel (ops/pallas_adc.py:
+        bf16 MXU contraction, in-register nibble unpack for 4-bit codes);
+        the XLA gather formulation remains the CPU/test path.
+        """
         codes, _, cb_sq = self.device()
-        n = codes.shape[0]
+        n = len(self)
+        if jax.default_backend() != "cpu":
+            from ..ops import pallas_adc as PA
+
+            return PA.adc_scan_pallas(
+                lookup, codes, jnp.int32(n), cb_sq, q_norms, k_out,
+                self.config.dist, packed=self.packed,
+            )
+        if self.packed:
+            codes = P.unpack_codes_4bit_dev(codes, self.config.m)
         return P.adc_scan(
             lookup, codes, jnp.int32(n), cb_sq, q_norms, k_out, self.config.dist
         )
@@ -134,7 +165,7 @@ class PQTable:
     def adc_for_ids(self, lookup, q_norms, ids: jax.Array):
         """ADC distances for (B, C) candidate ids (HNSW+PQ traversal)."""
         codes, _, cb_sq = self.device()
-        c = codes[jnp.maximum(ids, 0)]  # (B, C, m)
+        c = self.unpack_rows(codes[jnp.maximum(ids, 0)])  # (B, C, m)
         d = P.adc_lookup_codes(c, lookup, cb_sq, self.config.dist, q_norms)
         return jnp.where(ids >= 0, d, jnp.inf)
 

@@ -9,6 +9,16 @@ is one (N_t, G*k) x (G*k, B_t) matmul — the gather becomes a 128-wide
 contraction on the systolic array, and the uint8 codes are the only HBM
 traffic per base row.
 
+4-bit codes stay **nibble-packed in HBM** (two codes per byte, low nibble
+first — the reference's in-memory layout, pq_table.rs:66-91) and are
+unpacked in-register inside the kernel: half the code memory AND half the
+scan's HBM traffic for the n_bits=4 flagship configs.
+
+The one-hot operand is exactly representable in bf16 and the LUT is cast to
+bf16, so the matmul runs at the MXU's bf16 rate with f32 accumulation;
+partial-distance rounding (~0.4% relative per entry, averaged over m) is
+far below ADC quantization error, and callers exact-rerank anyway.
+
 For Cosine the per-code centroid squared-norm sum rides the same matmul as
 one extra LUT row.
 
@@ -21,6 +31,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -31,8 +43,12 @@ _NT = 512  # base rows per tile
 _BT = 128  # queries per tile (min f32 sublane alignment handled by padding)
 
 
-def _adc_kernel(codes_ref, lut_ref, out_ref, *, m_pad: int, k: int, n_groups_step: int):
-    """codes_ref: (NT, m_pad) int32; lut_ref: (BT, m_pad*k) f32;
+def _adc_kernel(
+    codes_ref, lut_ref, out_ref, *, m_pad: int, k: int, n_groups_step: int,
+    packed: bool, exact: bool,
+):
+    """codes_ref: (NT, m_pad) int32, or (NT, m_pad//2) int32 packed bytes
+    when `packed` (4-bit, low nibble first); lut_ref: (BT, m_pad*k) bf16;
     out_ref: (NT, BT) f32 accumulated sums."""
     NT = codes_ref.shape[0]
     BT = lut_ref.shape[0]
@@ -46,70 +62,133 @@ def _adc_kernel(codes_ref, lut_ref, out_ref, *, m_pad: int, k: int, n_groups_ste
     # static unroll: every slice is compile-time, W-aligned on the LUT side
     for s in range(steps):
         g0 = s * G
-        codes_g = codes[:, g0 : g0 + G]  # (NT, G)
-        # one-hot over the k codewords of each group, laid out as G*k lanes
-        col = jax.lax.broadcasted_iota(jnp.int32, (NT, G, k), 2)
-        oh = (codes_g[:, :, None] == col).reshape(NT, W).astype(jnp.float32)
+        if packed:
+            # two 4-bit codes per byte: unpack G groups from G//2 bytes.
+            # NO interleave (Mosaic rejects the (NT, G/2, 2)->(NT, G) shape
+            # cast) — lo/hi nibbles are lane-CONCATENATED [evens | odds] and
+            # the LUT group columns were permuted to match (see adc_sums).
+            bytes_g = codes[:, g0 // 2 : (g0 + G) // 2]  # (NT, G//2)
+            lo = bytes_g & 0xF
+            hi = (bytes_g >> 4) & 0xF
+            codes_g = jnp.concatenate([lo, hi], axis=1)  # (NT, G)
+        else:
+            codes_g = codes[:, g0 : g0 + G]  # (NT, G)
+        # One-hot over the k codewords of each group in CODE-MAJOR lane
+        # order: lane w <-> (code w // G, group-position w % G).  Built with
+        # pltpu.repeat (a native lane tiling) because the group-major
+        # (NT, G, k) -> (NT, W) reshape is a Mosaic-unsupported shape cast;
+        # the LUT lanes were pre-transposed to the same order in adc_sums.
+        codes_rep = pltpu.repeat(codes_g, k, axis=1)  # (NT, W) = [g0..gG-1]*k
+        code_of_lane = jax.lax.broadcasted_iota(jnp.int32, (NT, W), 1) // G
+        oh = (codes_rep == code_of_lane).astype(jnp.float32 if exact else jnp.bfloat16)
         lut_g = lut[:, g0 * k : g0 * k + W]  # (BT, W)
+        if exact:
+            lut_g = lut_g.astype(jnp.float32)
         acc = acc + jax.lax.dot_general(
             oh, lut_g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def adc_sums(codes: jax.Array, lut_rows: jax.Array, interpret: bool = False) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("packed", "exact", "interpret"))
+def adc_sums(
+    codes: jax.Array,
+    lut_rows: jax.Array,
+    packed: bool = False,
+    exact: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
     """Compute per-(base,query-row) ADC sums.
 
-    codes: (N, m) uint8/int32 — padded to tiles internally.
+    codes: (N, m) uint8/int32 codes, or (N, ceil(m/2)) packed nibble bytes
+      when `packed` — padded to tiles internally.
     lut_rows: (R, m, k) f32 lookup rows (queries, plus optionally one extra
       row of centroid squared norms for Cosine).
     Returns (N, R) f32 sums: sum_i lut_rows[r, i, codes[n, i]].
     """
-    N, m = codes.shape
-    R, m2, k = lut_rows.shape
-    assert m2 == m
+    N = codes.shape[0]
+    R, m, k = lut_rows.shape
     G = max(128 // k, 1)
     m_pad = ((m + G - 1) // G) * G
     n_pad = ((N + _NT - 1) // _NT) * _NT
     r_pad = ((R + _BT - 1) // _BT) * _BT
 
-    codes_p = jnp.zeros((n_pad, m_pad), jnp.int32)
-    codes_p = codes_p.at[:N, :m].set(codes.astype(jnp.int32))
+    if packed:
+        assert G % 2 == 0, "packed layout needs an even group step"
+        codes_p = jnp.zeros((n_pad, m_pad // 2), jnp.int32)
+        codes_p = codes_p.at[:N, : codes.shape[1]].set(codes.astype(jnp.int32))
+    else:
+        assert codes.shape[1] == m
+        codes_p = jnp.zeros((n_pad, m_pad), jnp.int32)
+        codes_p = codes_p.at[:N, :m].set(codes.astype(jnp.int32))
     # padded groups point at code 0 of a zero LUT column -> contribute 0
-    lut_p = jnp.zeros((r_pad, m_pad * k), jnp.float32)
-    lut_p = lut_p.at[:R, : m * k].set(lut_rows.reshape(R, m * k))
+    lut_dtype = jnp.float32 if exact else jnp.bfloat16
+    lut_full = jnp.zeros((r_pad, m_pad, k), lut_dtype)
+    lut_full = lut_full.at[:R, :m].set(lut_rows.astype(lut_dtype))
+    if packed:
+        # match the kernel's concat-unpack group order: within each step of
+        # G groups, all even-offset groups (lo nibbles) then all odd-offset
+        # ones (hi nibbles) — a static lane permutation applied once here
+        # instead of an unsupported in-register interleave per tile.
+        perm = np.concatenate(
+            [
+                np.concatenate([np.arange(g0, g0 + G, 2), np.arange(g0 + 1, g0 + G, 2)])
+                for g0 in range(0, m_pad, G)
+            ]
+        )
+        lut_full = lut_full[:, perm, :]
+    # code-major lane order per step (see the kernel's pltpu.repeat one-hot):
+    # step lane w holds (code w // G, group-position w % G)
+    steps = m_pad // G
+    lut_p = (
+        lut_full.reshape(r_pad, steps, G, k)
+        .transpose(0, 1, 3, 2)
+        .reshape(r_pad, m_pad * k)
+    )
 
     kernel = functools.partial(
-        _adc_kernel, m_pad=m_pad, k=k, n_groups_step=G
+        _adc_kernel, m_pad=m_pad, k=k, n_groups_step=G, packed=packed, exact=exact
     )
+    cw = codes_p.shape[1]
+    # grid order: query tiles OUTER, base tiles inner — the big LUT tile
+    # (m_pad*k lanes) then loads once per query tile instead of once per
+    # (query, base) pair (the codes re-reads it trades for are G*k/8 ~ 16x
+    # smaller, and half that again when packed)
     out = pl.pallas_call(
         kernel,
-        grid=(n_pad // _NT, r_pad // _BT),
+        grid=(r_pad // _BT, n_pad // _NT),
         in_specs=[
-            pl.BlockSpec((_NT, m_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BT, m_pad * k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NT, cw), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BT, m_pad * k), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_NT, _BT), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((_NT, _BT), lambda j, i: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, r_pad), jnp.float32),
         interpret=interpret,
     )(codes_p, lut_p)
     return out[:N, :R]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k_out", "dist", "packed", "exact", "block", "interpret")
+)
 def adc_scan_pallas(
     lookup: jax.Array,  # (B, m, k) f32
-    codes: jax.Array,  # (N, m) uint8
+    codes: jax.Array,  # (N, m) uint8, or (N, ceil(m/2)) packed when `packed`
     n_valid,
     cb_sqnorm: jax.Array,  # (m, k) f32
     q_norms: jax.Array,  # (B,)
     k_out: int,
     dist: str,
+    packed: bool = False,
+    exact: bool = False,
+    block: int = 131072,
     interpret: bool = False,
 ):
-    """Full ADC scan + top-k through the Pallas kernel.
+    """Full ADC scan + top-k through the Pallas kernel, blocked over N so
+    the (N, B) distance matrix never materializes (at N=1e6, B=1e3 it would
+    be 4 GB of HBM).
 
-    Same contract as ops.pq.adc_scan (B, k_out) dists/ids.
+    Same contract as ops.pq.adc_scan: (B, k_out) dists/ids.
     """
     from . import topk as T
 
@@ -117,19 +196,46 @@ def adc_scan_pallas(
     N = codes.shape[0]
     if dist == "cosine":
         rows = jnp.concatenate([lookup, cb_sqnorm[None, :, :]], axis=0)
-        sums = adc_sums(codes, rows, interpret=interpret)  # (N, B+1)
-        dots = sums[:, :B]
-        c_sq = sums[:, B]
-        norm0 = jnp.sqrt(c_sq)[:, None]
-        d = 1.0 - dots / jnp.maximum(norm0 * q_norms[None, :], 1e-10)
     else:
-        d = adc_sums(codes, lookup, interpret=interpret)  # (N, B)
-    d = d.T  # (B, N)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
-    d = jnp.where(ids < n_valid, d, jnp.inf)
-    kk = min(k_out, N)
-    bd, bi = T.topk_smallest(d, ids, kk)
-    if kk < k_out:
-        bd = jnp.pad(bd, ((0, 0), (0, k_out - kk)), constant_values=jnp.inf)
-        bi = jnp.pad(bi, ((0, 0), (0, k_out - kk)), constant_values=-1)
+        rows = lookup
+
+    def block_dists(tile_codes, start):
+        sums = adc_sums(tile_codes, rows, packed=packed, exact=exact, interpret=interpret)
+        if dist == "cosine":
+            dots = sums[:, :B]
+            c_sq = sums[:, B]
+            norm0 = jnp.sqrt(jnp.maximum(c_sq, 0.0))[:, None]
+            d = 1.0 - dots / jnp.maximum(norm0 * q_norms[None, :], 1e-10)
+        else:
+            d = sums[:, :B]
+        d = d.T  # (B, nb)
+        ids = start + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        return jnp.where(ids < n_valid, d, jnp.inf), ids
+
+    if N <= block:
+        d, ids = block_dists(codes, jnp.int32(0))
+        kk = min(k_out, N)
+        bd, bi = T.topk_smallest(d, ids, kk)
+        if kk < k_out:
+            bd = jnp.pad(bd, ((0, 0), (0, k_out - kk)), constant_values=jnp.inf)
+            bi = jnp.pad(bi, ((0, 0), (0, k_out - kk)), constant_values=-1)
+        return bd, jnp.where(jnp.isfinite(bd), bi, -1)
+
+    num_blocks = -(-N // block)
+    pad_to = num_blocks * block
+    if pad_to != N:
+        codes = jnp.pad(codes, ((0, pad_to - N), (0, 0)))
+
+    def body(carry, blk):
+        best_d, best_i = carry
+        start = blk * block
+        tile = jax.lax.dynamic_slice(codes, (start, 0), (block, codes.shape[1]))
+        d, ids = block_dists(tile, start)
+        return T.merge_topk(best_d, best_i, d, ids, k_out), None
+
+    init = (
+        jnp.full((B, k_out), jnp.inf, jnp.float32),
+        jnp.full((B, k_out), -1, jnp.int32),
+    )
+    (bd, bi), _ = jax.lax.scan(body, init, jnp.arange(num_blocks, dtype=jnp.int32))
     return bd, jnp.where(jnp.isfinite(bd), bi, -1)

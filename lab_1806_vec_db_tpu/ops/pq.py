@@ -236,6 +236,17 @@ def pack_codes_4bit(codes: np.ndarray) -> np.ndarray:
     return (lo | (hi << 4)).astype(np.uint8)
 
 
+def unpack_codes_4bit_dev(packed: jax.Array, m: int) -> jax.Array:
+    """Device-side nibble unpack: (..., ceil(m/2)) bytes -> (..., m) codes
+    (low nibble first, pq_table.rs:55-65).  Used where gathered packed code
+    rows feed the XLA ADC lookup (the Pallas scan unpacks in-kernel)."""
+    p = packed.astype(jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    out = jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1], p.shape[-1] * 2)
+    return out[..., :m]
+
+
 def unpack_codes_4bit(packed: np.ndarray, m: int) -> np.ndarray:
     """(N, ceil(m/2)) packed bytes -> (N, m) codes (pq_table.rs:55-65)."""
     lo = packed & 0xF

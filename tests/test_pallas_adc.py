@@ -11,24 +11,75 @@ from lab_1806_vec_db_tpu.ops import pallas_adc as PA
 from lab_1806_vec_db_tpu.utils.config import PQConfig
 
 
-@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
-def test_pallas_adc_matches_xla(dist, gist_1000):
+def _fixture(dist, gist_1000, n_bits=4):
     vecs = gist_1000[:200, :24].copy()
     queries = gist_1000[200:210, :24].copy()
-    cfg = PQConfig(n_bits=4, m=8, dist=dist, k_means_size=100)
+    cfg = PQConfig(n_bits=n_bits, m=8, dist=dist, k_means_size=100)
     pq = PQTable.train(vecs, cfg, seed=0)
-
     q_dev = jnp.asarray(queries)
     lookup, q_norms = pq.create_lookup(q_dev)
-    codes, _, cb_sq = pq.device()
-    n = jnp.int32(len(vecs))
+    return pq, lookup, q_norms, len(vecs)
 
-    d_ref, i_ref = P.adc_scan(lookup, codes, n, cb_sq, q_norms, 10, dist)
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_pallas_adc_matches_xla(dist, gist_1000):
+    """exact=True (f32 operands): bit-compatible with the XLA gather path."""
+    pq, lookup, q_norms, n = _fixture(dist, gist_1000)
+    _, _, cb_sq = pq.device()
+    codes_unpacked = jnp.asarray(pq.codes)
+
+    d_ref, i_ref = P.adc_scan(lookup, codes_unpacked, jnp.int32(n), cb_sq, q_norms, 10, dist)
     d_pal, i_pal = PA.adc_scan_pallas(
-        lookup, codes, n, cb_sq, q_norms, 10, dist, interpret=True
+        lookup, codes_unpacked, jnp.int32(n), cb_sq, q_norms, 10, dist,
+        exact=True, interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(d_pal), np.asarray(d_ref), rtol=1e-4, atol=1e-5
     )
     # ids may differ only on exact distance ties; compare via distances
     np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+def test_pallas_adc_packed_nibbles(dist, gist_1000):
+    """In-kernel nibble unpack (4-bit codes packed in device memory,
+    pq_table.rs:66-91 layout) must equal the unpacked-codes kernel."""
+    pq, lookup, q_norms, n = _fixture(dist, gist_1000)
+    codes_dev, _, cb_sq = pq.device()
+    assert pq.packed and codes_dev.shape[1] == 4  # (N, ceil(8/2)) bytes
+
+    d_u, i_u = PA.adc_scan_pallas(
+        lookup, jnp.asarray(pq.codes), jnp.int32(n), cb_sq, q_norms, 10, dist,
+        exact=True, interpret=True,
+    )
+    d_p, i_p = PA.adc_scan_pallas(
+        lookup, codes_dev, jnp.int32(n), cb_sq, q_norms, 10, dist,
+        packed=True, exact=True, interpret=True,
+    )
+    # the packed kernel's LUT group permutation reorders the f32 summation,
+    # so values agree to rounding (not bitwise)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_u), rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_u))
+
+
+def test_pallas_adc_bf16_tolerance(gist_1000):
+    """The production bf16 LUT path: partial-distance rounding must stay
+    small relative to the distances (stage-1 ordering only; callers
+    exact-rerank)."""
+    pq, lookup, q_norms, n = _fixture("l2sqr", gist_1000)
+    codes_dev, _, cb_sq = pq.device()
+    d_ref, _ = P.adc_scan(lookup, jnp.asarray(pq.codes), jnp.int32(n), cb_sq, q_norms, 10, "l2sqr")
+    d_bf, _ = PA.adc_scan_pallas(
+        lookup, codes_dev, jnp.int32(n), cb_sq, q_norms, 10, "l2sqr",
+        packed=True, interpret=True,
+    )
+    ref = np.asarray(d_ref)
+    rel = np.abs(np.asarray(d_bf) - ref) / np.maximum(np.abs(ref), 1e-6)
+    assert np.median(rel) < 5e-3 and rel.max() < 0.15
+
+
+def test_unpack_codes_4bit_dev_roundtrip(rng):
+    codes = rng.integers(0, 16, size=(13, 7)).astype(np.uint8)
+    packed = P.pack_codes_4bit(codes)
+    out = np.asarray(P.unpack_codes_4bit_dev(jnp.asarray(packed), 7))
+    np.testing.assert_array_equal(out, codes)
