@@ -49,6 +49,7 @@ from ..utils import serde
 from ..utils.candidates import CandidatePair, pairs_from_arrays
 
 HEURISTIC_CAND = 64
+BEAM_EXPAND = 4  # beam entries expanded per lock-step iteration (search)
 
 # set to a utils.profiling.Spans to instrument bulk build (adds device syncs)
 BUILD_SPANS = None
@@ -94,11 +95,45 @@ def _make_node_dist(q, q_cache, vecs, vcache, dist):
     return nd
 
 
-@partial(jax.jit, static_argnames=("ef", "iters", "expand", "dist"))
-def _beam0(q, q_cache, vecs, vcache, links0, entry, ef, iters, expand, dist):
+@partial(jax.jit, static_argnames=("ef", "iters", "expand", "ring", "dist"))
+def _beam0(q, q_cache, vecs, vcache, links0, entry, ef, iters, expand, ring, dist):
     nd = _make_node_dist(q, q_cache, vecs, vcache, dist)
     lf = lambda ids: links0[ids]
-    return BM.beam_search(entry, nd, lf, ef, iters, expand)
+    return BM.beam_search(entry, nd, lf, ef, iters, expand, ring)
+
+
+@partial(jax.jit, static_argnames=("ef", "iters", "expand", "ring", "dist"))
+def _beam0_rs(q, base_rs, links0, entry, ef, iters, expand, ring, dist):
+    """Level-0 beam search with the Pallas DMA-gather distance kernel.
+
+    The XLA row gather behind `_make_node_dist` measured ~27 GB/s on the
+    v5e — 30x below HBM copy speed — and dominated batched HNSW search
+    (~18 ms per lock-step iteration at B=1000, E=8).  Routing the frontier
+    expansion through `gather_dists_rs` (per-row async DMAs + VPU distance,
+    the rerank kernel's machinery) moves the gather to copy speed, and
+    because the row slab is the exact f32 copy, the beam distances ARE the
+    exact distances — no separate rerank pass is needed.
+    """
+    from ..ops import pallas_gather as PG
+
+    nd = lambda ids: PG.gather_dists_rs(q, base_rs, ids, dist)
+    lf = lambda ids: links0[ids]
+    return BM.beam_search(entry, nd, lf, ef, iters, expand, ring)
+
+
+@partial(jax.jit, static_argnames=("iters", "dist"))
+def _greedy_upper_rs(q, base_rs, links_l, pos_l, entry, iters, dist):
+    """Upper-level greedy descent on the DMA-gather distance kernel."""
+    from ..ops import pallas_gather as PG
+
+    nd = lambda ids: PG.gather_dists_rs(q, base_rs, ids, dist)
+
+    def lf(ids):
+        rows = pos_l[ids]
+        out = links_l[jnp.maximum(rows, 0)]
+        return jnp.where((rows >= 0)[..., None], out, -1)
+
+    return BM.greedy_descent(entry, nd, lf, iters)
 
 
 @partial(jax.jit, static_argnames=("iters", "dist"))
@@ -113,24 +148,28 @@ def _greedy_upper(q, q_cache, vecs, vcache, links_l, pos_l, entry, iters, dist):
     return BM.greedy_descent(entry, nd, lf, iters)
 
 
-@partial(jax.jit, static_argnames=("ef", "iters", "expand", "dist"))
-def _beam0_pq(lookup, q_norms, codes, cb_sq, links0, entry, ef, iters, expand, dist):
+@partial(jax.jit, static_argnames=("ef", "iters", "expand", "dist", "m_codes"))
+def _beam0_pq(lookup, q_norms, codes, cb_sq, links0, entry, ef, iters, expand, dist, m_codes=None):
     from ..ops import pq as P
 
     def nd(ids):
         c = codes[ids]
+        if m_codes is not None:  # nibble-packed device codes
+            c = P.unpack_codes_4bit_dev(c, m_codes)
         return P.adc_lookup_codes(c, lookup, cb_sq, dist, q_norms)
 
     lf = lambda ids: links0[ids]
     return BM.beam_search(entry, nd, lf, ef, iters, expand)
 
 
-@partial(jax.jit, static_argnames=("iters", "dist"))
-def _greedy_upper_pq(lookup, q_norms, codes, cb_sq, links_l, pos_l, entry, iters, dist):
+@partial(jax.jit, static_argnames=("iters", "dist", "m_codes"))
+def _greedy_upper_pq(lookup, q_norms, codes, cb_sq, links_l, pos_l, entry, iters, dist, m_codes=None):
     from ..ops import pq as P
 
     def nd(ids):
         c = codes[ids]
+        if m_codes is not None:  # nibble-packed device codes
+            c = P.unpack_codes_4bit_dev(c, m_codes)
         return P.adc_lookup_codes(c, lookup, cb_sq, dist, q_norms)
 
     def lf(ids):
@@ -907,7 +946,15 @@ class HNSWIndex:
             cur = _greedy_upper(q, q_cache, vecs_t, vcache, links_l, pos_l, cur, 256, self.dist)
         return cur
 
-    def knn_with_ef_batch(self, queries: np.ndarray, k: int, ef: int, expand: int = 1):
+    def knn_with_ef_batch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: int,
+        expand: int | None = None,
+        iters: int | None = None,
+        ring: int | None = None,
+    ):
         """Batched kNN (hnsw_index.rs:624-633): greedy descent to level 0 +
         one beam search with ef.max(k), traversed on the bf16 vector copy,
         then an exact f32 rerank of the ef beam (so returned distances are
@@ -920,26 +967,45 @@ class HNSWIndex:
                 np.full((B, k), -1, np.int32),
             )
         ef = max(ef, k)
+        if expand is None:
+            expand = BEAM_EXPAND
+        if iters is None:
+            # natural termination budget: expanding E per step, churn ~2x
+            iters = (2 * ef + 64 + expand - 1) // expand + 16
+        if ring is None:
+            # the visited ring must hold every expansion or evicted-then-
+            # re-found nodes get re-expanded (wasted iterations at best,
+            # iteration-budget truncation at worst)
+            ring = _pow2(min(2 * ef + 64, 4 * ef))
         from ..ops import distance as D
+        import jax
+
+        links0 = self._links0_device()
+        q = jnp.asarray(queries)
+        if jax.default_backend() != "cpu":
+            # DMA-gather traversal (see _beam0_rs): frontier expansion runs
+            # on the exact f32 row slab at HBM copy speed, so beam distances
+            # are exact and the sorted beam's head IS the answer.
+            base_rs = self.store.device_rerank()
+            cur = jnp.full((B,), self.entry_point, jnp.int32)
+            for level in range(self.enter_level, 0, -1):
+                ul = self._upper(level)
+                links_l, pos_l = ul.device()
+                cur = _greedy_upper_rs(q, base_rs, links_l, pos_l, cur, 256, self.dist)
+            bd, bi = _beam0_rs(q, base_rs, links0, cur, ef, iters, expand, ring, self.dist)
+            if self.store.tier == "lean":
+                # lean slab is bf16: selection-grade distances; keep them
+                # (no exacter source exists on device)
+                pass
+            d, i = bd[:, :k], bi[:, :k]
+            return np.asarray(d), np.asarray(i)
 
         vecs, vcache = self.store.device()
         vecs_t, _ = self.store.device_traversal()
-        links0 = self._links0_device()
-        q = jnp.asarray(queries)
         q_cache = D.dist_cache(q, self.dist)
         cur = self._descend_to_level0(q, q_cache, vecs_t, vcache)
-        iters = 2 * ef + 64
-        _, bi = _beam0(q, q_cache, vecs_t, vcache, links0, cur, ef, iters, expand, self.dist)
-        import jax
-
-        if jax.default_backend() != "cpu":
-            # DMA-gather rerank kernel (ops/pallas_gather.py): exact f32
-            # distances for the ef beam at HBM copy speed
-            from ..ops import pallas_gather as PG
-
-            d, i = PG.rerank_topk_rs(q, self.store.device_rerank(), bi, k, self.dist)
-        else:
-            d, i = T.knn_gathered(q, vecs, bi, k, self.dist, base_cache=vcache)
+        _, bi = _beam0(q, q_cache, vecs_t, vcache, links0, cur, ef, iters, expand, ring, self.dist)
+        d, i = T.knn_gathered(q, vecs, bi, k, self.dist, base_cache=vcache)
         return np.asarray(d), np.asarray(i)
 
     def knn_batch(self, queries: np.ndarray, k: int):
@@ -977,7 +1043,24 @@ class HNSWIndex:
         ef = max(ef, k)
         q_dev = jnp.asarray(queries)
         lookup, q_norms = pq.create_lookup(q_dev)
+        import jax
+
+        if jax.default_backend() != "cpu":
+            # TPU routing divergence (measured, r1 data/t_bench_10000_tpu):
+            # the graph-guided ADC traversal is HBM-gather-bound and loses
+            # to the full Pallas one-hot-matmul ADC scan at EVERY N on this
+            # hardware (25-50 ms/query at N=1e4 vs sub-0.1 ms for the
+            # scan), so HNSW.knn_pq on TPU routes to ADC-scan + exact
+            # rerank — same results contract as hnsw_index.rs:672-697
+            # (ADC-ordered ef pool, exact top-k), different search order.
+            from ..ops import pallas_gather as PG
+
+            _, cand = pq.adc_scan(lookup, q_norms, ef)
+            d, i = PG.rerank_topk_rs(q_dev, self.store.device_rerank(), cand, k, self.dist)
+            return np.asarray(d), np.asarray(i)
+
         codes, _, cb_sq = pq.device()
+        m_codes = pq.config.m if pq.packed else None
         # pad codes to store capacity so gathers stay in-bounds
         cap = self.store.capacity
         if codes.shape[0] < cap:
@@ -988,11 +1071,13 @@ class HNSWIndex:
             ul = self._upper(level)
             links_l, pos_l = ul.device()
             cur = _greedy_upper_pq(
-                lookup, q_norms, codes, cb_sq, links_l, pos_l, cur, 256, self.dist
+                lookup, q_norms, codes, cb_sq, links_l, pos_l, cur, 256, self.dist,
+                m_codes=m_codes,
             )
         iters = 2 * ef + 64
         bd, bi = _beam0_pq(
-            lookup, q_norms, codes, cb_sq, links0, cur, ef, iters, expand, self.dist
+            lookup, q_norms, codes, cb_sq, links0, cur, ef, iters, expand, self.dist,
+            m_codes=m_codes,
         )
         # exact rerank of the ef beam (candidate_pair.rs:102-108)
         vecs, vcache = self.store.device()

@@ -141,6 +141,14 @@ def gather_dists_rs(
     dim_pad = rerank_dim_pad(dim)
     sr = dim_pad // 128
     r = ids.shape[1]
+    r_in = r
+    if r % 8:
+        # sublane-align the candidate axis: r=1 (a beam search's entry-point
+        # probe) trips a Mosaic singleton-relayout bug, and non-multiple-of-8
+        # r wastes a partial sublane tile anyway.  Padded slots are -1 -> inf.
+        pad = 8 - r % 8
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        r = r + pad
     q = queries.astype(jnp.float32)
     if dim_pad != dim:
         q = jnp.pad(q, ((0, 0), (0, dim_pad - dim)))
@@ -167,7 +175,7 @@ def gather_dists_rs(
         ],
         interpret=interpret,
     )(ids3, q_norms, idc, q, base_rs)
-    return out.reshape(B, r)
+    return out.reshape(B, r)[:, :r_in]
 
 
 def gather_dists(
