@@ -243,6 +243,136 @@ class ShardedPQFlatIndex:
         return np.asarray(d), np.asarray(i)
 
 
+@partial(jax.jit, static_argnames=("k", "n_probes", "dist", "mesh", "shard"))
+def _sharded_knn_ivf(
+    queries, centroids, posting, base, cache, n_local, k, n_probes, dist, mesh, shard
+):
+    """Sharded IVF probe scan: replicated centroids, per-chip posting
+    segments, ICI all-gather top-k merge.
+
+    Every chip selects the SAME n_probes lists for a query (the centroid
+    GEMM is replicated — it is tiny), then scans only its own segment of
+    each probed list: the row shard is contiguous, so a chip's segment of
+    list l holds exactly the list-l members that live on that chip.  The
+    heavy traffic (posting gathers + candidate GEMM) stays shard-local;
+    only the per-chip (B, k) bests ride ICI.  The multi-chip form of
+    `models/ivf.py` search (reference: ivf_index.rs:143-154 fanned out)."""
+    from ..ops import kmeans as KM
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),
+            P(None, None),
+            P("data", None, None),
+            P("data", None),
+            P("data"),
+            P("data"),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+    )
+    def kernel(q, c, posting_l, base_l, cache_l, n_l):
+        _, probe_ids = KM.find_n_nearest(q, c, n_probes, dist)  # (B, p)
+        cand = posting_l[0][probe_ids].reshape(q.shape[0], -1)  # local ids
+        dd, ii = T.knn_gathered(q, base_l, cand, k, dist, base_cache=cache_l)
+        offset = jax.lax.axis_index("data").astype(jnp.int32) * shard
+        ii = jnp.where(ii >= 0, ii + offset, -1)
+        all_d = jax.lax.all_gather(dd, "data", axis=1).reshape(dd.shape[0], -1)
+        all_i = jax.lax.all_gather(ii, "data", axis=1).reshape(dd.shape[0], -1)
+        return T.topk_smallest(jnp.where(all_i >= 0, all_d, jnp.inf), all_i, k)
+
+    return kernel(queries, centroids, posting, base, cache, n_local)
+
+
+class ShardedIVFIndex:
+    """IVF sharded over the mesh's data axis (VERDICT r1 item 4).
+
+    Build is the distributed analog of ivf_index.rs:64-107: the coarse
+    quantizer trains with k-means++ on a host-drawn sample (replicated),
+    then `refine_steps` data-parallel Lloyd steps over the FULL sharded set
+    (`kmeans_step_sharded`: local assignment GEMM + psum over ICI); row
+    assignment runs shard-local under jit, and each chip's posting segments
+    are built over its contiguous row shard.  Search = `_sharded_knn_ivf`.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        base: np.ndarray,
+        dist: str,
+        config,
+        seed: int = 0,
+        refine_steps: int = 2,
+        centroids: np.ndarray | None = None,
+    ):
+        from ..models.ivf import DEFAULT_N_PROBES, _build_posting
+        from ..ops import kmeans as KM
+
+        D.check_dist(dist)
+        self.mesh = mesh
+        self.dist = dist
+        self.config = config
+        self.n, self.dim = base.shape
+        self.default_n_probes = DEFAULT_N_PROBES
+        self.base, self.cache, self.n_local, self.shard = shard_base(mesh, base, dist)
+        n_dev = mesh.devices.size
+        repl = NamedSharding(mesh, P(None, None))
+
+        if centroids is None:
+            n_train = min(config.k_means_size or self.n, self.n)
+            rng = np.random.default_rng(seed)
+            sel = (
+                rng.choice(self.n, size=n_train, replace=False)
+                if n_train < self.n
+                else np.arange(self.n)
+            )
+            cents = KM.kmeans_fit(
+                jax.random.PRNGKey(seed),
+                jnp.asarray(base[sel]),
+                jnp.int32(n_train),
+                config.k,
+                config.k_means_max_iter,
+                config.k_means_tol,
+                dist,
+            )
+            cents = jax.device_put(np.asarray(cents), repl)
+            for _ in range(refine_steps):
+                cents = kmeans_step_sharded(self.base, self.n_local, cents, dist, mesh)
+        else:
+            cents = jax.device_put(np.asarray(centroids, np.float32), repl)
+        self.centroids = cents
+
+        assign_fn = jax.jit(
+            lambda b, c: KM.find_nearest(b, c, dist),
+            in_shardings=(NamedSharding(mesh, P("data", None)), repl),
+            out_shardings=NamedSharding(mesh, P("data")),
+        )
+        assign = np.asarray(assign_fn(self.base, self.centroids))
+        n_loc_h = np.minimum(
+            np.maximum(self.n - self.shard * np.arange(n_dev), 0), self.shard
+        ).astype(np.int64)
+        postings = []
+        for c in range(n_dev):
+            a = assign[c * self.shard : c * self.shard + n_loc_h[c]]
+            p, _ = _build_posting(a, config.k)
+            postings.append(p)
+        lmax = max(max(p.shape[1] for p in postings), 1)
+        post = np.full((n_dev, config.k, lmax), -1, np.int32)
+        for c, p in enumerate(postings):
+            post[c, :, : p.shape[1]] = p
+        self.posting = jax.device_put(post, NamedSharding(mesh, P("data", None, None)))
+
+    def knn_batch(self, queries: np.ndarray, k: int, n_probes: int | None = None):
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        n_probes = min(n_probes or self.default_n_probes, self.config.k)
+        d, i = _sharded_knn_ivf(
+            q, self.centroids, self.posting, self.base, self.cache,
+            self.n_local, k, n_probes, self.dist, self.mesh, self.shard,
+        )
+        return np.asarray(d), np.asarray(i)
+
+
 @partial(jax.jit, static_argnames=("dist", "mesh"))
 def kmeans_step_sharded(data, n_local, centroids, dist, mesh):
     """One Lloyd step, data-parallel over the mesh: local assignment GEMM +

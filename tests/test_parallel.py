@@ -83,3 +83,48 @@ def test_sharded_two_stage_matches_exact(gist_1000):
     recall = np.mean([len(set(i_ex[b]) & set(i_2s[b])) / 10 for b in range(16)])
     assert recall >= 0.9
     assert (np.diff(d_2s, axis=1) >= -1e-6).all()
+
+
+def test_sharded_ivf_matches_probe_oracle(gist_1000):
+    """Sharded IVF with injected centroids must return exactly the top-k of
+    the union of the globally-probed lists (the per-chip posting segments
+    partition each list across chips)."""
+    from lab_1806_vec_db_tpu.utils.config import IVFConfig
+
+    base = gist_1000[:401, :32].copy()  # not divisible by 8
+    queries = gist_1000[500:510, :32].copy()
+    rng = np.random.default_rng(3)
+    cents = base[rng.choice(len(base), 8, replace=False)].copy()
+    mesh = S.make_mesh()
+    idx = S.ShardedIVFIndex(mesh, base, "l2sqr", IVFConfig(k=8), centroids=cents)
+    k, p = 5, 3
+    d1, i1 = idx.knn_batch(queries, k, n_probes=p)
+    dc = ((queries[:, None, :] - cents[None]) ** 2).sum(-1)
+    db = ((base[:, None, :] - cents[None]) ** 2).sum(-1)
+    assign = db.argmin(1)
+    for r in range(len(queries)):
+        probes = np.argsort(dc[r], kind="stable")[:p]
+        cand = np.flatnonzero(np.isin(assign, probes))
+        dd = ((base[cand] - queries[r]) ** 2).sum(-1)
+        order = cand[np.argsort(dd, kind="stable")[:k]]
+        assert set(i1[r].tolist()) == set(order.tolist())
+        np.testing.assert_allclose(np.sort(d1[r]), np.sort(dd)[:k], rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_ivf_distributed_fit_all_probes_is_exact(gist_1000):
+    """With every list probed, sharded IVF equals the exact sharded scan —
+    exercises the distributed k-means fit (sample fit + sharded Lloyd
+    refinement) end to end."""
+    from lab_1806_vec_db_tpu.utils.config import IVFConfig
+
+    base = gist_1000[:300, :24].copy()
+    queries = gist_1000[400:408, :24].copy()
+    mesh = S.make_mesh()
+    idx = S.ShardedIVFIndex(
+        mesh, base, "l2sqr", IVFConfig(k=6, k_means_size=128), seed=1, refine_steps=2
+    )
+    flat = S.ShardedFlatIndex(mesh, base, "l2sqr")
+    d1, i1 = idx.knn_batch(queries, 7, n_probes=6)
+    d2, i2 = flat.knn_batch(queries, 7)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-3, atol=1e-3)
