@@ -61,57 +61,59 @@ def _gather_dist_kernel(
     q_ref,  # VMEM (1, SR, 128) f32 — this query in slab layout
     base_rs,  # ANY (N*SR, 128) f32 — row-slab base, DMA'd manually
     out_ref,  # VMEM (1, r, 1) f32
-    rows,  # scratch VMEM (r, SR, 128) f32
-    sems,  # scratch DMA sems (r,)
+    rows,  # scratch VMEM (r*SR, 128) f32 — slab j at rows [j*SR, (j+1)*SR)
+    sems,  # scratch DMA sems (2,) — ONE per wave bank (see below)
     *,
     dist: str,
     r: int,
     sr: int,
 ):
-    # DMA semaphores live in tiny sflag memory (~500 total), so the copies
-    # run in pipelined waves over a fixed 2 x _SEM_BANK bank: wave w+1's
-    # copies are in flight while wave w is being waited on.
+    # The scalar core's DMA ISSUE loop is the kernel's real cost (profiled
+    # ~tens of ns per descriptor; the copies themselves run concurrently on
+    # the DMA engines).  Two reductions keep it minimal:
+    # - waves share ONE semaphore per bank: DMA completion increments a
+    #   semaphore by the copy's byte count, so a single wait on a descriptor
+    #   spanning the wave's total bytes replaces _SEM_BANK per-copy waits
+    #   (halves the scalar work vs the original per-copy wait loop);
+    # - two banks pipeline: wave w+1's copies are issued while wave w is
+    #   being waited on.
     n_waves = (r + _SEM_BANK - 1) // _SEM_BANK
 
-    def _copy(j, bank):
-        rid = jnp.maximum(ids_ref[0, 0, j], 0)
-        src = base_rs.at[pl.ds(rid * sr, sr)]
-        return pltpu.make_async_copy(src, rows.at[j], sems.at[bank, j % _SEM_BANK])
-
-    def start_wave(w):
-        lo = w * _SEM_BANK
-
+    def start_wave(w, lo, size):
         def s(j, c):
-            _copy(j, w % 2).start()
+            rid = jnp.maximum(ids_ref[0, 0, j], 0)
+            pltpu.make_async_copy(
+                base_rs.at[pl.ds(rid * sr, sr)],
+                rows.at[pl.ds(j * sr, sr)],
+                sems.at[w % 2],
+            ).start()
             return c
 
-        jax.lax.fori_loop(lo, jnp.minimum(lo + _SEM_BANK, r), s, 0)
+        # Mosaic fori_loop supports only unroll=1 or full unroll; fully
+        # unrolling the issue loop removes the per-iteration branch cost
+        # from the scalar core's hot path
+        jax.lax.fori_loop(lo, lo + size, s, 0, unroll=size)
 
-    def wait_wave(w):
-        lo = w * _SEM_BANK
+    def wait_wave(w, lo, size):
+        # wait-by-byte-count: the descriptor only sizes the wait (the data
+        # already moved via the per-row copies above), so src == dst == the
+        # wave's scratch slice — always in bounds even when the base has
+        # fewer than `size` rows
+        sl = rows.at[pl.ds(lo * sr, size * sr)]
+        pltpu.make_async_copy(sl, sl, sems.at[w % 2]).wait()
 
-        def s(j, c):
-            _copy(j, w % 2).wait()
-            return c
-
-        jax.lax.fori_loop(lo, jnp.minimum(lo + _SEM_BANK, r), s, 0)
-
-    start_wave(jnp.int32(0))
-
-    def wave_body(w, c):
-        @pl.when(w + 1 < n_waves)
-        def _():
-            start_wave(w + 1)
-
-        wait_wave(w)
-        return c
-
-    jax.lax.fori_loop(0, n_waves, wave_body, 0)
+    sizes = [min(_SEM_BANK, r - w * _SEM_BANK) for w in range(n_waves)]
+    start_wave(0, 0, sizes[0])
+    for w in range(n_waves):  # static unroll (n_waves is tiny)
+        if w + 1 < n_waves:
+            start_wave(w + 1, (w + 1) * _SEM_BANK, sizes[w + 1])
+        wait_wave(w, w * _SEM_BANK, sizes[w])
 
     # All intermediates stay >= 2D (Mosaic cannot lay out 1D vectors).
     q = q_ref[:]  # (1, SR, 128) broadcasts over candidates
-    v = rows[:].astype(jnp.float32)  # (r, SR, 128); dim-padding lanes are
-    # zero in BOTH; bf16 slabs upcast here (distance math stays f32)
+    v = rows[:].reshape(r, sr, 128).astype(jnp.float32)  # (r, SR, 128);
+    # dim-padding lanes are zero in BOTH; bf16 slabs upcast here (distance
+    # math stays f32)
     if dist == "l2sqr":
         diff = v - q
         d = jnp.sum(jnp.sum(diff * diff, axis=2), axis=1, keepdims=True)  # (r, 1)
@@ -170,8 +172,8 @@ def gather_dists_rs(
         out_specs=pl.BlockSpec((1, r, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, r, 1), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((r, sr, 128), base_rs.dtype),
-            pltpu.SemaphoreType.DMA((2, min(r, _SEM_BANK))),
+            pltpu.VMEM((r * sr, 128), base_rs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(ids3, q_norms, idc, q, base_rs)
