@@ -97,23 +97,23 @@ def beam_search(
         active = jnp.any(unexp, axis=1)  # (B,)
 
         # Select the E best (lowest-slot) unexpanded entries per query.
-        # Beam is sorted ascending, so slot order == best-first order.
-        slot_pref = jnp.where(unexp, -jnp.arange(ef, dtype=jnp.int32)[None, :], jnp.int32(-(10 ** 9)))
-        _, sel = jax.lax.top_k(slot_pref, E)  # (B, E) slot indices
-        sel_valid = jnp.take_along_axis(unexp, sel, axis=1)  # (B, E)
-        cand = jnp.take_along_axis(beam_i, sel, axis=1)  # (B, E)
+        # Beam is sorted ascending, so slot order == best-first order and
+        # "the E best unexpanded" = "unexpanded with running count <= E" —
+        # a cumsum + compare + tiny one-hot contraction, NOT a top_k sort
+        # (a per-iteration (B, ef) sort was a measurable slice of the
+        # while_loop body on the v5e).
+        rank = jnp.cumsum(unexp.astype(jnp.int32), axis=1)  # (B, ef) 1-based
+        sel_mask = unexp & (rank <= E)  # (B, ef)
+        onehot = (
+            sel_mask[:, :, None]
+            & (rank[:, :, None] == jnp.arange(1, E + 1, dtype=jnp.int32)[None, None, :])
+        )  # (B, ef, E): slot j feeds expansion lane rank-1
+        sel_valid = jnp.any(onehot, axis=1)  # (B, E)
+        cand = jnp.max(
+            jnp.where(onehot, beam_i[:, :, None], jnp.int32(-1)), axis=1
+        )  # (B, E), -1 where no such slot
         cand_safe = jnp.maximum(cand, 0)
-
-        # Mark selected slots expanded.  Formulated as a one-hot compare +
-        # any-reduce, NOT a scatter: XLA lowers (B, E)-indexed scatters on
-        # TPU to a serialized per-row update loop, and this runs inside the
-        # while_loop body (profiled as part of the fixed ~ms/iter cost).
-        sel_hit = jnp.any(
-            (sel[:, :, None] == jnp.arange(ef, dtype=jnp.int32)[None, None, :])
-            & sel_valid[:, :, None],
-            axis=1,
-        )  # (B, ef)
-        exp_new = expanded | sel_hit
+        exp_new = expanded | sel_mask
 
         # Gather neighbor blocks and flatten the expansion axis.
         nbrs = links_fn(cand_safe)  # (B, E, L)
