@@ -373,6 +373,167 @@ class ShardedIVFIndex:
         return np.asarray(d), np.asarray(i)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "ef", "iters", "expand", "ring", "dist", "mesh", "shard"),
+)
+def _sharded_knn_hnsw(
+    queries, vecs, vcache, links0, uppers, entries, n_local,
+    k, ef, iters, expand, ring, dist, mesh, shard,
+):
+    """Sharded HNSW search: per-chip greedy descent + lock-step beam search
+    over that chip's sub-graph, then an ICI all-gather top-k merge.
+
+    Each chip owns an independent HNSW graph over its contiguous row shard
+    (the multi-index form of "shard N", SURVEY.md section 7.8) — graph
+    gathers, frontier distances, and the beam all stay shard-local; only the
+    per-chip (B, k) bests ride ICI.  Beam distances run on the exact f32
+    shard, so the sorted beam head IS the answer (no rerank pass).  Shards
+    padded past their `enter_level` carry empty upper levels (pos == -1
+    everywhere): the greedy descent sees only -1 links there and holds
+    position, so one static level loop serves every shard.
+    """
+    from ..ops import beam as BM
+    from ..models.hnsw import _make_node_dist
+
+    n_levels = len(uppers)
+    upper_specs = tuple((P("data", None, None), P("data", None)) for _ in range(n_levels))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),
+            P("data", None, None),
+            P("data", None),
+            P("data", None, None),
+            upper_specs,
+            P("data"),
+            P("data"),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+    )
+    def kernel(q, vecs_l, vcache_l, links0_l, uppers_l, entry_l, n_l):
+        vecs_s, vcache_s, links0_s = vecs_l[0], vcache_l[0], links0_l[0]
+        q_cache = D.dist_cache(q, dist)
+        nd = _make_node_dist(q, q_cache, vecs_s, vcache_s, dist)
+        B = q.shape[0]
+        cur = jnp.full((B,), jnp.maximum(entry_l[0], 0), jnp.int32)
+        for links_l, pos_l in uppers_l:  # highest level first
+            links_s, pos_s = links_l[0], pos_l[0]
+
+            def lf(ids, links_s=links_s, pos_s=pos_s):
+                rows = pos_s[ids]
+                out = links_s[jnp.maximum(rows, 0)]
+                return jnp.where((rows >= 0)[..., None], out, -1)
+
+            cur = BM.greedy_descent(cur, nd, lf, 256)
+        bd, bi = BM.beam_search(cur, nd, lambda ids: links0_s[ids], ef, iters, expand, ring)
+        dd, ii = bd[:, :k], bi[:, :k]
+        ok = (ii >= 0) & (ii < n_l[0]) & (n_l[0] > 0)
+        offset = jax.lax.axis_index("data").astype(jnp.int32) * shard
+        dd = jnp.where(ok, dd, jnp.inf)
+        ii = jnp.where(ok, ii + offset, -1)
+        all_d = jax.lax.all_gather(dd, "data", axis=1).reshape(B, -1)
+        all_i = jax.lax.all_gather(ii, "data", axis=1).reshape(B, -1)
+        return T.topk_smallest(jnp.where(all_i >= 0, all_d, jnp.inf), all_i, k)
+
+    return kernel(queries, vecs, vcache, links0, uppers, entries, n_local)
+
+
+class ShardedHNSWIndex:
+    """HNSW sharded over the mesh's data axis (VERDICT r1 item 4).
+
+    Build: the base is split into contiguous row shards and an independent
+    single-chip HNSW graph is built per shard with the bulk builder
+    (models/hnsw.py); per-shard graph arrays are then stacked and placed
+    with a `P("data", ...)` sharding so each chip holds exactly its own
+    sub-graph.  Search: `_sharded_knn_hnsw`.  Recall semantics match an
+    ef-search over each sub-graph merged globally — the multi-index
+    decomposition, the standard way graph indices scale past one device
+    (the reference scales with rayon threads over ONE graph instead:
+    hnsw_index.rs:399-457; shared memory does not survive chip boundaries).
+    """
+
+    def __init__(self, mesh: Mesh, base: np.ndarray, dist: str, config, seed: int = 0, progress=None):
+        from ..models.hnsw import HNSWIndex
+
+        D.check_dist(dist)
+        self.mesh = mesh
+        self.dist = dist
+        self.config = config
+        self.n, self.dim = base.shape
+        n_dev = mesh.devices.size
+        self.shard = max(-(-self.n // n_dev), 8)
+        subs = []
+        for s in range(n_dev):
+            lo = min(s * self.shard, self.n)
+            hi = min(lo + self.shard, self.n)
+            sub = HNSWIndex.build(base[lo:hi], dist, config, seed=seed + s, progress=progress)
+            subs.append(sub)
+        self.default_ef = subs[0].config.default_ef
+
+        cap = max(ix.store.capacity for ix in subs)
+        m0 = subs[0].config.max_m0
+        m = subs[0].config.m
+        vecs = np.zeros((n_dev, cap, self.dim), np.float32)
+        links0 = np.full((n_dev, cap, m0), -1, np.int32)
+        entries = np.full((n_dev,), -1, np.int32)
+        n_local = np.zeros((n_dev,), np.int32)
+        for s, ix in enumerate(subs):
+            ns = len(ix.store)
+            vecs[s, :ns] = ix.store.numpy()
+            links0[s, : ix.links0.shape[0]] = ix.links0
+            if ix.entry_point is not None:
+                entries[s] = ix.entry_point
+            n_local[s] = ns
+        l_max = max((ix.enter_level or 0) for ix in subs)
+        uppers = []
+        for level in range(l_max, 0, -1):
+            rows = max(max((ix.upper[level - 1].n if level <= (ix.enter_level or 0) else 0) for ix in subs), 1)
+            lk = np.full((n_dev, rows, m), -1, np.int32)
+            pos = np.full((n_dev, cap), -1, np.int32)
+            for s, ix in enumerate(subs):
+                if level <= (ix.enter_level or 0):
+                    ul = ix.upper[level - 1]
+                    lk[s, : ul.n] = ul.links[: ul.n]
+                    pos[s, : len(ul.pos)] = ul.pos
+            uppers.append((lk, pos))
+
+        row = NamedSharding(mesh, P("data", None, None))
+        vec1 = NamedSharding(mesh, P("data", None))
+        dev1 = NamedSharding(mesh, P("data"))
+        self.vecs = jax.device_put(vecs, row)
+        self.vcache = jax.jit(
+            lambda x: D.dist_cache(x.reshape(-1, self.dim), dist).reshape(n_dev, cap),
+            in_shardings=row,
+            out_shardings=vec1,
+        )(self.vecs)
+        self.links0 = jax.device_put(links0, row)
+        self.uppers = tuple(
+            (jax.device_put(lk, row), jax.device_put(pos, vec1)) for lk, pos in uppers
+        )
+        self.entries = jax.device_put(entries, dev1)
+        self.n_local = jax.device_put(n_local, dev1)
+
+    def knn_with_ef_batch(self, queries: np.ndarray, k: int, ef: int, expand: int | None = None):
+        from ..models.hnsw import BEAM_EXPAND, _pow2
+
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        ef = max(ef, k)
+        expand = expand or BEAM_EXPAND
+        iters = (2 * ef + 64 + expand - 1) // expand + 16
+        ring = _pow2(min(2 * ef + 64, 4 * ef))
+        d, i = _sharded_knn_hnsw(
+            q, self.vecs, self.vcache, self.links0, self.uppers, self.entries,
+            self.n_local, k, ef, iters, expand, ring, self.dist, self.mesh, self.shard,
+        )
+        return np.asarray(d), np.asarray(i)
+
+    def knn_batch(self, queries: np.ndarray, k: int):
+        return self.knn_with_ef_batch(queries, k, self.default_ef)
+
+
 @partial(jax.jit, static_argnames=("dist", "mesh"))
 def kmeans_step_sharded(data, n_local, centroids, dist, mesh):
     """One Lloyd step, data-parallel over the mesh: local assignment GEMM +

@@ -128,3 +128,40 @@ def test_sharded_ivf_distributed_fit_all_probes_is_exact(gist_1000):
     d2, i2 = flat.knn_batch(queries, 7)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_hnsw_exhaustive_ef_is_exact(gist_1000):
+    """With ef >= shard size every per-shard beam search is exhaustive, so
+    the sharded HNSW must equal the exact sharded scan (the oracle pattern
+    of hnsw_index.rs:713-790 lifted to the mesh)."""
+    from lab_1806_vec_db_tpu.utils.config import HNSWConfig
+
+    base = gist_1000[:280, :24].copy()  # 35/chip, not divisible by 8
+    queries = gist_1000[400:410, :24].copy()
+    mesh = S.make_mesh()
+    idx = S.ShardedHNSWIndex(mesh, base, "l2sqr", HNSWConfig(M=6), seed=0)
+    flat = S.ShardedFlatIndex(mesh, base, "l2sqr")
+    d1, i1 = idx.knn_with_ef_batch(queries, 7, ef=64)
+    d2, i2 = flat.knn_batch(queries, 7)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_hnsw_distances_are_exact_and_sorted(gist_1000):
+    """At working ef the returned distances must be the true distances of
+    the returned global ids, ascending per row (beam runs on the exact f32
+    shard, so the beam head is the answer)."""
+    from lab_1806_vec_db_tpu.utils.config import HNSWConfig
+
+    base = gist_1000[:640, :32].copy()
+    queries = gist_1000[700:712, :32].copy()
+    mesh = S.make_mesh()
+    idx = S.ShardedHNSWIndex(mesh, base, "l2sqr", HNSWConfig(M=8), seed=1)
+    d, i = idx.knn_with_ef_batch(queries, 5, ef=24)
+    assert (i >= 0).all() and (i < len(base)).all()
+    true = ((base[i] - queries[:, None, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, true, rtol=1e-3, atol=1e-3)
+    assert (np.diff(d, axis=1) >= -1e-5).all()
+    # determinism: a second identical search returns the same ids
+    d2, i2 = idx.knn_with_ef_batch(queries, 5, ef=24)
+    np.testing.assert_array_equal(i, i2)
