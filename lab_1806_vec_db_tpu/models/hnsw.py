@@ -534,6 +534,70 @@ class HNSWIndex:
         index.batch_add(vectors, progress=progress)
         return index
 
+    @classmethod
+    def build_from_store(
+        cls,
+        store: VecStore,
+        config: HNSWConfig | None = None,
+        seed: int | None = None,
+        progress=None,
+    ) -> "HNSWIndex":
+        """Bulk build over a pre-filled store (e.g. `VecStore.from_device`):
+        ZERO vector bytes cross the host boundary.
+
+        The insert machinery is already prefix-bounded (candidate scans and
+        id decoding cut at `n_prev = ids.min()`, `_insert_ids`), so graph
+        construction over rows that are all resident up front is the same
+        algorithm as `build` minus the host push: rows [0, n) join the graph
+        in the usual chunk ladder, each chunk searching only the frozen
+        prefix below it.  With device-born data (bench.make_dataset_device)
+        this makes the entire 1M build run without uploading or downloading
+        the base — the tunnel-friendly form of build_on_vec_set
+        (hnsw_index.rs:595-611)."""
+        n = len(store)
+        config = config or HNSWConfig()
+        index = cls(store.dim, store.dist, config, seed)
+        index.store = store
+        cap = store.capacity
+        index.levels = np.zeros(cap, np.int32)
+        index.links0 = np.full((cap, index.config.max_m0), -1, np.int32)
+        index._dev_links0 = None
+        index._links0_full_dirty = True
+        if n == 0:
+            return index
+        bulk = n >= BULK_LINKS_MIN
+        if bulk:
+            index._enter_links_bulk()
+        try:
+            cur = 0
+            while cur < n:
+                size = min(max(cur, 256), CHUNK_LADDER[-1], n - cur)
+                index._insert_prefilled(cur, cur + size)
+                cur += size
+                if progress is not None:
+                    progress(cur, n)
+        finally:
+            if bulk:
+                index._exit_links_bulk()
+        return index
+
+    def _insert_prefilled(self, lo: int, hi: int) -> None:
+        """Insert rows [lo, hi) that are ALREADY in the store (no push)."""
+        ids = np.arange(lo, hi, dtype=np.int32)
+        levels = np.array([self._rand_level() for _ in ids], dtype=np.int32)
+        self.levels[ids] = levels
+        for i, lv in zip(ids, levels):
+            for l in range(1, lv + 1):
+                self._upper(l).ensure_member(int(i))
+        if self.entry_point is None:
+            self.entry_point = int(ids[0])
+            self.enter_level = int(levels[0])
+            if len(ids) == 1:
+                return
+            self._insert_ids(ids[1:], levels[1:])
+            return
+        self._insert_ids(ids, levels)
+
     def _insert_chunk(self, vecs: np.ndarray) -> None:
         c = len(vecs)
         cfg = self.config
@@ -597,8 +661,9 @@ class HNSWIndex:
         try:
             self._insert_ids_inner(ids, levels, n_prev, c, c_pad, entry_point)
         finally:
+            # values were synced by the push's own dirty marks (or are
+            # device-born); validity is bound-dynamic — nothing to re-mark
             self.store.set_scan_bound(None)
-            self.store.mark_rows_dirty(ids)
 
     def _insert_ids_inner(self, ids, levels, n_prev, c, c_pad, entry_point):
         import contextlib

@@ -57,6 +57,11 @@ class PQTable:
     ) -> "PQTable":
         if config.n_bits not in (4, 8):
             raise ValueError("n_bits must be 4 or 8")
+        # `vectors` may be a host array OR a device array (device-born
+        # ingest, models/store.py:from_device): in the device case the
+        # training sample is gathered on device and only the (N, m) uint8
+        # codes ever cross the host boundary — no base download/re-upload.
+        on_device = isinstance(vectors, jax.Array) and not isinstance(vectors, np.ndarray)
         n, dim = vectors.shape
         if not (1 <= config.m <= dim):
             raise ValueError("m must be in 1..=dim")
@@ -65,19 +70,26 @@ class PQTable:
         if config.k_means_size is not None and config.k_means_size < n:
             # random_sample without replacement (vec_set.rs:154-163)
             sel = rng.choice(n, size=config.k_means_size, replace=False)
-            train_vecs = vectors[sel]
+            train_vecs = (
+                jnp.take(vectors, jnp.asarray(np.sort(sel)), axis=0)
+                if on_device
+                else vectors[sel]
+            )
         else:
             train_vecs = vectors
         idx, mask, _ = P.group_gather_indices(dim, config.m)
         idx_j = jnp.asarray(idx)
         mask_j = jnp.asarray(mask)
-        train_dev = jnp.asarray(np.ascontiguousarray(train_vecs, dtype=np.float32))
+        if on_device:
+            train_dev = train_vecs.astype(jnp.float32)
+        else:
+            train_dev = jnp.asarray(np.ascontiguousarray(train_vecs, dtype=np.float32))
         grouped = P.regroup(train_dev, idx_j, mask_j)
         key = jax.random.PRNGKey(seed)
         codebooks = P.train_codebooks(
             key,
             grouped,
-            jnp.int32(len(train_vecs)),
+            jnp.int32(train_dev.shape[0]),
             k,
             config.k_means_max_iter,
             config.k_means_tol,
@@ -90,7 +102,10 @@ class PQTable:
         codes = np.empty((n, config.m), dtype=np.uint8)
         for s in range(0, n, _ENCODE_BLOCK):
             e = min(s + _ENCODE_BLOCK, n)
-            blk = jnp.asarray(np.ascontiguousarray(vectors[s:e], dtype=np.float32))
+            if on_device:
+                blk = jax.lax.slice_in_dim(vectors, s, e, axis=0).astype(jnp.float32)
+            else:
+                blk = jnp.asarray(np.ascontiguousarray(vectors[s:e], dtype=np.float32))
             grouped_blk = P.regroup(blk, idx_j, mask_j)
             codes[s:e] = np.asarray(
                 jax.device_get(P.encode(grouped_blk, cb_dev, config.dist))

@@ -160,6 +160,17 @@ def _int8_block_jit(vecs, q8, scale, row0, dim_pad, rows):
     )
 
 
+@jax.jit
+def _bound_mask_jit(scale, cache, perm, bound):
+    """Re-mask the int8 mirror's channel vectors for a moving scan bound:
+    rows whose ORIGINAL id >= bound get the losing additive sentinel (same
+    convention as the baked perm<n validity)."""
+    from ..ops.pallas_scan import _BIG
+
+    ok = perm < bound
+    return jnp.where(ok, scale, 0.0), jnp.where(ok, cache, jnp.float32(_BIG))
+
+
 class VecStore:
     def __init__(self, dim: int, dist: str, capacity: int = 0, dtype=np.float32):
         D.check_dist(dist)
@@ -367,10 +378,13 @@ class VecStore:
         self._dev_proj = None
 
     def set_scan_bound(self, bound: int | None) -> None:
-        """Treat rows >= `bound` as INVALID in the int8 scan mirror (their
-        sync writes the losing sentinel).  Used by HNSW bulk build to keep
-        the in-flight chunk out of its own candidate scan; clear with None
-        and re-mark the affected rows dirty to re-validate them."""
+        """Treat rows >= `bound` as INVALID in the int8 scan mirror.  Used
+        by HNSW bulk build to keep the in-flight chunk out of its own
+        candidate scan.  The bound is applied DYNAMICALLY at `device_int8`
+        read time (the two (cap,) channel vectors are re-masked on device,
+        ~microseconds); the big q8 matrix and its baked perm<n validity
+        never change, so moving the bound each chunk costs no host round
+        trip and no mirror re-sync."""
         self._scan_bound = bound
 
     def mark_rows_dirty(self, rows) -> None:
@@ -380,6 +394,9 @@ class VecStore:
     def _scan_valid_n(self) -> int:
         b = self._scan_bound
         return self._n if b is None else min(self._n, b)
+
+    # (validity baked into the int8 mirror is always perm < n; the scan
+    # bound is applied dynamically in device_int8 — see set_scan_bound)
 
     def _host(self) -> np.ndarray:
         """The (cap, dim) host array, materializing it from the device
@@ -526,7 +543,7 @@ class VecStore:
                 rows_scan = jnp.asarray(self._scan_inv[rows])
             else:
                 rows_scan = jnp.asarray(rows)
-            valid8 = jnp.asarray(rows < self._scan_valid_n())
+            valid8 = jnp.asarray(rows < self._n)
             validp = jnp.asarray(rows < self._n)
             dev, cache, bf16, slab, int8triple, projtriple = _sync_rows_jit(
                 self._dev,
@@ -678,7 +695,7 @@ class VecStore:
                 q8 = jnp.asarray(q8u[perm])
                 scale = jnp.asarray(scale_u[perm])
                 perm_dev = jnp.asarray(perm)
-            valid = jnp.asarray(perm < self._scan_valid_n())
+            valid = jnp.asarray(perm < self._n)
             cache_p = cache[perm_dev]  # |x|^2 (l2sqr) / |x| (cosine)
             if self.dist == "cosine":
                 scale = scale / jnp.maximum(cache_p, 1e-20)
@@ -687,7 +704,12 @@ class VecStore:
             cache_p = jnp.where(valid, cache_p, jnp.float32(_BIG))
             self._dev_int8 = (q8, scale, cache_p, perm_dev)
             jax.block_until_ready(self._dev_int8)
-        return self._dev_int8
+        q8, scale, cache_p, perm_dev = self._dev_int8
+        b = self._scan_bound
+        if b is not None and b < self._n:
+            # dynamic re-mask of the channel vectors only (see set_scan_bound)
+            scale, cache_p = _bound_mask_jit(scale, cache_p, perm_dev, jnp.int32(b))
+        return q8, scale, cache_p, perm_dev
 
     def device_proj_int8(self, d_red: int):
         """Return (proj (dim, d_red) f32, mu (dim,) f32, q8p (cap, d_red)

@@ -33,7 +33,11 @@ import jax
 import jax.numpy as jnp
 
 Array = jax.Array
-# node_dist_fn: (B, C) int32 ids (>=0) -> (B, C) f32 distances
+# node_dist_fn: (B, C) int32 ids -> (B, C) f32 distances.  Ids may be -1
+# (invalid): the fn may return ANY value there (callers mask), but must not
+# fault — and the Pallas DMA-gather implementation uses an all-invalid row
+# to skip that query's DMAs entirely (see pallas_gather.py), which is what
+# makes converged queries cheap in the lock-step loops below.
 NodeDistFn = Callable[[Array], Array]
 # links_fn: (B, E) int32 ids -> (B, E, L) int32 neighbor ids (-1 padded)
 LinksFn = Callable[[Array], Array]
@@ -134,7 +138,9 @@ def beam_search(
             dup = jnp.zeros_like(valid)
         fresh = valid & ~in_beam & ~in_ring & ~dup
 
-        nd = node_dist_fn(jnp.maximum(nbrs, 0))
+        # raw ids (stale/-1 slots kept): a converged query's tile is all -1,
+        # which lets the DMA-gather distance kernel skip it
+        nd = node_dist_fn(jnp.where(fresh, nbrs, -1))
         nd = jnp.where(fresh, nd, jnp.inf)
         nids = jnp.where(fresh, nbrs, -1)
 
@@ -183,10 +189,13 @@ def greedy_descent(
         return (it < max_iters) & jnp.any(moved)
 
     def body(state):
-        cur, cur_d, _, it = state
+        cur, cur_d, moved, it = state
         nbrs = links_fn(cur[:, None])[:, 0, :]  # (B, L)
+        # a query that did not move last step cannot improve (same node,
+        # same neighbors): blank its ids so the DMA-gather kernel skips it
+        nbrs = jnp.where(moved[:, None], nbrs, -1)
         valid = nbrs >= 0
-        nd = node_dist_fn(jnp.maximum(nbrs, 0))
+        nd = node_dist_fn(nbrs)
         nd = jnp.where(valid, nd, jnp.inf)
         best_pos = jnp.argmin(nd, axis=1)
         best_d = jnp.take_along_axis(nd, best_pos[:, None], axis=1)[:, 0]

@@ -57,6 +57,7 @@ def prepare_rerank_base(base: jax.Array, dtype=jnp.float32) -> jax.Array:
 def _gather_dist_kernel(
     ids_ref,  # SMEM (1, 1, r) int32 — DMA source ids (scalar-readable)
     qn_ref,  # SMEM (1, 1, 1) f32 — |q| for cosine (ignored for l2sqr)
+    act_ref,  # SMEM (1, 1, 1) int32 — 0 iff ALL ids are invalid (skip DMAs)
     idv_ref,  # VMEM (1, r, 1) int32 — same ids, vector copy for masking
     q_ref,  # VMEM (1, SR, 128) f32 — this query in slab layout
     base_rs,  # ANY (N*SR, 128) f32 — row-slab base, DMA'd manually
@@ -77,37 +78,47 @@ def _gather_dist_kernel(
     #   (halves the scalar work vs the original per-copy wait loop);
     # - two banks pipeline: wave w+1's copies are issued while wave w is
     #   being waited on.
+    # A query whose ids are ALL invalid (act == 0) skips the DMA sequence
+    # entirely: in the lock-step beam search (ops/beam.py) converged
+    # queries feed all -1 tiles every remaining iteration, and on an
+    # issue-bound kernel skipping them cuts cost by the convergence-tail
+    # fraction.  The skip is all-or-nothing per query because the
+    # byte-counted wave wait needs a static byte count — per-slot
+    # conditional issue would deadlock the wait (and a compensating
+    # VMEM self-copy costs the same scalar issue slot it would save).
     n_waves = (r + _SEM_BANK - 1) // _SEM_BANK
 
-    def start_wave(w, lo, size):
-        def s(j, c):
-            rid = jnp.maximum(ids_ref[0, 0, j], 0)
-            pltpu.make_async_copy(
-                base_rs.at[pl.ds(rid * sr, sr)],
-                rows.at[pl.ds(j * sr, sr)],
-                sems.at[w % 2],
-            ).start()
-            return c
+    @pl.when(act_ref[0, 0, 0] > 0)
+    def _dma_waves():
+        def start_wave(w, lo, size):
+            def s(j, c):
+                rid = jnp.maximum(ids_ref[0, 0, j], 0)
+                pltpu.make_async_copy(
+                    base_rs.at[pl.ds(rid * sr, sr)],
+                    rows.at[pl.ds(j * sr, sr)],
+                    sems.at[w % 2],
+                ).start()
+                return c
 
-        # Mosaic fori_loop supports only unroll=1 or full unroll; fully
-        # unrolling the issue loop removes the per-iteration branch cost
-        # from the scalar core's hot path
-        jax.lax.fori_loop(lo, lo + size, s, 0, unroll=size)
+            # Mosaic fori_loop supports only unroll=1 or full unroll; fully
+            # unrolling the issue loop removes the per-iteration branch cost
+            # from the scalar core's hot path
+            jax.lax.fori_loop(lo, lo + size, s, 0, unroll=size)
 
-    def wait_wave(w, lo, size):
-        # wait-by-byte-count: the descriptor only sizes the wait (the data
-        # already moved via the per-row copies above), so src == dst == the
-        # wave's scratch slice — always in bounds even when the base has
-        # fewer than `size` rows
-        sl = rows.at[pl.ds(lo * sr, size * sr)]
-        pltpu.make_async_copy(sl, sl, sems.at[w % 2]).wait()
+        def wait_wave(w, lo, size):
+            # wait-by-byte-count: the descriptor only sizes the wait (the
+            # data already moved via the per-row copies above), so src ==
+            # dst == the wave's scratch slice — always in bounds even when
+            # the base has fewer than `size` rows
+            sl = rows.at[pl.ds(lo * sr, size * sr)]
+            pltpu.make_async_copy(sl, sl, sems.at[w % 2]).wait()
 
-    sizes = [min(_SEM_BANK, r - w * _SEM_BANK) for w in range(n_waves)]
-    start_wave(0, 0, sizes[0])
-    for w in range(n_waves):  # static unroll (n_waves is tiny)
-        if w + 1 < n_waves:
-            start_wave(w + 1, (w + 1) * _SEM_BANK, sizes[w + 1])
-        wait_wave(w, w * _SEM_BANK, sizes[w])
+        sizes = [min(_SEM_BANK, r - w * _SEM_BANK) for w in range(n_waves)]
+        start_wave(0, 0, sizes[0])
+        for w in range(n_waves):  # static unroll (n_waves is tiny)
+            if w + 1 < n_waves:
+                start_wave(w + 1, (w + 1) * _SEM_BANK, sizes[w + 1])
+            wait_wave(w, w * _SEM_BANK, sizes[w])
 
     # All intermediates stay >= 2D (Mosaic cannot lay out 1D vectors).
     q = q_ref[:]  # (1, SR, 128) broadcasts over candidates
@@ -157,6 +168,7 @@ def gather_dists_rs(
     q_norms = jnp.sqrt(jnp.sum(q * q, axis=1)).reshape(B, 1, 1)
     q = q.reshape(B, sr, 128)
     ids3 = ids.reshape(B, 1, r)
+    act = jnp.any(ids >= 0, axis=1).astype(jnp.int32).reshape(B, 1, 1)
     idc = ids.reshape(B, r, 1)
     kernel = functools.partial(_gather_dist_kernel, dist=dist, r=r, sr=sr)
     out = pl.pallas_call(
@@ -164,6 +176,7 @@ def gather_dists_rs(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, r), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, r, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sr, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -176,7 +189,7 @@ def gather_dists_rs(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(ids3, q_norms, idc, q, base_rs)
+    )(ids3, q_norms, act, idc, q, base_rs)
     return out.reshape(B, r)[:, :r_in]
 
 

@@ -125,3 +125,26 @@ def test_bulk_device_canonical_links_identical(dist, gist_1000, monkeypatch):
     flat = FlatIndex.from_numpy(vecs, dist)
     q = vecs[123]
     assert [p.index for p in b.knn(q, 5)] == [p.index for p in flat.knn(q, 5)]
+
+
+def test_build_from_store_matches_host_build(gist_1000):
+    """Device-born bulk build (zero vector bytes over the host boundary)
+    must produce the SAME graph as the host-array build with the same seed:
+    the insert machinery is prefix-bounded by ids, not by push order."""
+    import jax.numpy as jnp
+    from lab_1806_vec_db_tpu.models.store import VecStore
+
+    vecs = gist_1000[:400, :32].copy()
+    a = HNSWIndex.build(vecs, "l2sqr", HNSWConfig(M=8), seed=5)
+    store = VecStore.from_device(jnp.asarray(vecs), "l2sqr")
+    b = HNSWIndex.build_from_store(store, HNSWConfig(M=8), seed=5)
+    n = len(vecs)
+    assert a.entry_point == b.entry_point
+    assert a.enter_level == b.enter_level
+    np.testing.assert_array_equal(a.levels[:n], b.levels[:n])
+    np.testing.assert_array_equal(a.links0[:n], b.links0[:n])
+    q = gist_1000[500:520, :32].copy()
+    da, ia = a.knn_with_ef_batch(q, 5, 32)
+    db, ib = b.knn_with_ef_batch(q, 5, 32)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(da, db, rtol=1e-5, atol=1e-5)

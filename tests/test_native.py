@@ -33,3 +33,36 @@ def test_native_hnsw_oracle(dist, gist_1000):
         flat_ids = [p.index for p in flat.knn(vecs[qi], 5)]
         assert ids == flat_ids
         assert dists == sorted(dists)
+
+
+def test_beam_recall_curve_matches_sequential_best_first(gist_1000):
+    """VERDICT r1 weak-5: the lock-step beam's approximate visited set
+    (beam dedup + expansion ring) must not change the recall-vs-ef curve
+    vs the sequential best-first traversal (native engine) on the SAME
+    graph, at efs where the graph search is genuinely approximate."""
+    vecs = gist_1000[:800, :32].copy()
+    queries = gist_1000[800:900, :32].copy()
+    index = HNSWIndex.build(vecs, "l2sqr", HNSWConfig(M=8), seed=7)
+    flat = FlatIndex.from_numpy(vecs, "l2sqr")
+    k = 10
+    _, gt = flat.knn_batch(queries, k)
+
+    def recall(ids):
+        return np.mean([
+            len(set(gt[i].tolist()) & set(np.asarray(ids)[i][:k].tolist())) / k
+            for i in range(len(queries))
+        ])
+
+    for ef in (12, 24, 48):
+        _, bi = index.knn_with_ef_batch(queries, k, ef)
+        r_beam = recall(bi)
+        nat_ids = []
+        for q in queries:
+            res = native.hnsw_knn_single(index, q, k, ef)
+            assert res is not None
+            nat_ids.append(res[0])
+        r_nat = recall(np.asarray(nat_ids))
+        # same curve within noise; the beam may be mildly better (it
+        # re-scores evicted nodes instead of pruning them)
+        assert r_beam >= r_nat - 0.03, (ef, r_beam, r_nat)
+        assert abs(r_beam - r_nat) <= 0.08, (ef, r_beam, r_nat)
