@@ -415,18 +415,28 @@ def bench_hnsw(n: int, k: int, n_queries: int, ef: int) -> dict:
     from lab_1806_vec_db_tpu.utils.config import HNSWConfig
     from lab_1806_vec_db_tpu.utils.profiling import progress_bar
 
+    import jax
+    from lab_1806_vec_db_tpu.models.store import VecStore
+
     dim = 960
     log(f"dataset: N={n} dim={dim} queries={n_queries}")
-    base, queries = make_dataset(n, dim, n_queries)
+    if jax.default_backend() == "cpu":
+        base, queries = make_dataset(n, dim, n_queries)
+        store = VecStore.from_numpy(base, "l2sqr")
+    else:
+        # device-born end to end: generation, GT, and build never move the
+        # base over the tunnel (multi-GB transfers have wedged it)
+        base_dev, queries, _ = make_dataset_device(n, dim, n_queries)
+        store = VecStore.from_device(base_dev, "l2sqr")
 
     log("computing exact ground truth (blocked GEMM scan)...")
-    flat = FlatIndex.from_numpy(base, "l2sqr")
+    flat = FlatIndex.from_store(store)
     _, gt_ids = flat.knn_batch(queries, k, exact=True)
 
     log("building HNSW (M=16, efc=200)...")
     t0 = time.perf_counter()
-    index = HNSWIndex.build(
-        base, "l2sqr", HNSWConfig(ef_construction=200, M=16), seed=42,
+    index = HNSWIndex.build_from_store(
+        store, HNSWConfig(ef_construction=200, M=16), seed=42,
         progress=progress_bar(n, "hnsw-build"),
     )
     build_s = time.perf_counter() - t0
