@@ -148,29 +148,47 @@ def _greedy_upper(q, q_cache, vecs, vcache, links_l, pos_l, entry, iters, dist):
     return BM.greedy_descent(entry, nd, lf, iters)
 
 
-@partial(jax.jit, static_argnames=("ef", "iters", "expand", "dist", "m_codes"))
-def _beam0_pq(lookup, q_norms, codes, cb_sq, links0, entry, ef, iters, expand, dist, m_codes=None):
+def _make_adc_node_dist(lookup, q_norms, codes, cb_sq, dist, m, m_codes):
+    """ADC node-distance closure for the PQ traversal.
+
+    On TPU the LUT accumulation runs in the Pallas one-hot kernel
+    (ops/pallas_adc.py:adc_dists_for_ids) — the XLA take_along_axis form
+    lowers to B*C*m scalar gathers (~41M per beam iteration at the
+    flagship m=320 config) and measured ~30 ms/query.  CPU keeps the XLA
+    form (interpret-mode Pallas would be slower still)."""
     from ..ops import pq as P
 
+    if jax.default_backend() != "cpu":
+        from ..ops import pallas_adc as PA
+
+        def nd(ids):
+            return PA.adc_dists_for_ids(
+                lookup, q_norms, codes, cb_sq, ids, dist, m,
+                packed=m_codes is not None,
+            )
+
+        return nd
+
     def nd(ids):
-        c = codes[ids]
+        c = codes[jnp.maximum(ids, 0)]
         if m_codes is not None:  # nibble-packed device codes
             c = P.unpack_codes_4bit_dev(c, m_codes)
-        return P.adc_lookup_codes(c, lookup, cb_sq, dist, q_norms)
+        d = P.adc_lookup_codes(c, lookup, cb_sq, dist, q_norms)
+        return jnp.where(ids >= 0, d, jnp.inf)
 
+    return nd
+
+
+@partial(jax.jit, static_argnames=("ef", "iters", "expand", "dist", "m", "m_codes"))
+def _beam0_pq(lookup, q_norms, codes, cb_sq, links0, entry, ef, iters, expand, dist, m, m_codes=None):
+    nd = _make_adc_node_dist(lookup, q_norms, codes, cb_sq, dist, m, m_codes)
     lf = lambda ids: links0[ids]
     return BM.beam_search(entry, nd, lf, ef, iters, expand)
 
 
-@partial(jax.jit, static_argnames=("iters", "dist", "m_codes"))
-def _greedy_upper_pq(lookup, q_norms, codes, cb_sq, links_l, pos_l, entry, iters, dist, m_codes=None):
-    from ..ops import pq as P
-
-    def nd(ids):
-        c = codes[ids]
-        if m_codes is not None:  # nibble-packed device codes
-            c = P.unpack_codes_4bit_dev(c, m_codes)
-        return P.adc_lookup_codes(c, lookup, cb_sq, dist, q_norms)
+@partial(jax.jit, static_argnames=("iters", "dist", "m", "m_codes"))
+def _greedy_upper_pq(lookup, q_norms, codes, cb_sq, links_l, pos_l, entry, iters, dist, m, m_codes=None):
+    nd = _make_adc_node_dist(lookup, q_norms, codes, cb_sq, dist, m, m_codes)
 
     def lf(ids):
         rows = pos_l[ids]
@@ -1095,9 +1113,26 @@ class HNSWIndex:
         d, i = self.knn_with_ef_batch(queries=np.asarray(query, np.float32), k=k, ef=ef)
         return pairs_from_arrays(d[0], i[0], k)
 
-    def knn_pq_batch(self, queries: np.ndarray, k: int, ef: int, pq: PQTable, expand: int = 1):
+    def knn_pq_batch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: int,
+        pq: PQTable,
+        expand: int | None = None,
+        route: str = "auto",
+    ):
         """HNSW traversal with ADC distances + exact rerank
-        (hnsw_index.rs:672-697)."""
+        (hnsw_index.rs:672-697).
+
+        route="graph": graph-guided ADC beam traversal (the reference's
+        algorithm); frontier distances run in the Pallas one-hot ADC
+        kernel on TPU (adc_dists_for_ids — the earlier take_along_axis
+        form measured ~30 ms/query and was the round-1 blocker).
+        route="scan": full Pallas ADC scan + exact rerank (same results
+        contract: ADC-ordered ef pool, exact top-k; cost nearly flat in
+        ef, linear in N).  "auto" picks graph above ~300k rows, where the
+        O(N) scan crosses the ~iteration-bound traversal cost on a v5e."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         B = queries.shape[0]
         if len(self.store) == 0 or self.entry_point is None:
@@ -1110,14 +1145,10 @@ class HNSWIndex:
         lookup, q_norms = pq.create_lookup(q_dev)
         import jax
 
-        if jax.default_backend() != "cpu":
-            # TPU routing divergence (measured, r1 data/t_bench_10000_tpu):
-            # the graph-guided ADC traversal is HBM-gather-bound and loses
-            # to the full Pallas one-hot-matmul ADC scan at EVERY N on this
-            # hardware (25-50 ms/query at N=1e4 vs sub-0.1 ms for the
-            # scan), so HNSW.knn_pq on TPU routes to ADC-scan + exact
-            # rerank — same results contract as hnsw_index.rs:672-697
-            # (ADC-ordered ef pool, exact top-k), different search order.
+        on_tpu = jax.default_backend() != "cpu"
+        if route == "auto":
+            route = "graph" if (not on_tpu or len(self.store) > 300_000) else "scan"
+        if on_tpu and route == "scan":
             from ..ops import pallas_gather as PG
 
             _, cand = pq.adc_scan(lookup, q_norms, ef)
@@ -1131,22 +1162,29 @@ class HNSWIndex:
         if codes.shape[0] < cap:
             codes = jnp.pad(codes, ((0, cap - codes.shape[0]), (0, 0)))
         links0 = self._links0_device()
+        if expand is None:
+            expand = BEAM_EXPAND if on_tpu else 1
+        iters = (2 * ef + 64 + expand - 1) // expand + 16
         cur = jnp.full((B,), self.entry_point, jnp.int32)
         for level in range(self.enter_level, 0, -1):
             ul = self._upper(level)
             links_l, pos_l = ul.device()
             cur = _greedy_upper_pq(
                 lookup, q_norms, codes, cb_sq, links_l, pos_l, cur, 256, self.dist,
-                m_codes=m_codes,
+                pq.config.m, m_codes=m_codes,
             )
-        iters = 2 * ef + 64
         bd, bi = _beam0_pq(
             lookup, q_norms, codes, cb_sq, links0, cur, ef, iters, expand, self.dist,
-            m_codes=m_codes,
+            pq.config.m, m_codes=m_codes,
         )
         # exact rerank of the ef beam (candidate_pair.rs:102-108)
-        vecs, vcache = self.store.device()
-        d, i = T.knn_gathered(q_dev, vecs, bi, k, self.dist, base_cache=vcache)
+        if on_tpu:
+            from ..ops import pallas_gather as PG
+
+            d, i = PG.rerank_topk_rs(q_dev, self.store.device_rerank(), bi[:, :ef], k, self.dist)
+        else:
+            vecs, vcache = self.store.device()
+            d, i = T.knn_gathered(q_dev, vecs, bi, k, self.dist, base_cache=vcache)
         return np.asarray(d), np.asarray(i)
 
     def knn_pq(self, query, k: int, ef: int, pq: PQTable) -> list[CandidatePair]:
@@ -1179,17 +1217,37 @@ class HNSWIndex:
         return arrays, meta
 
     @classmethod
-    def from_state(cls, arrays: dict, meta: dict, external_vectors=None) -> "HNSWIndex":
-        vecs = arrays.get("vectors", external_vectors)
-        if vecs is None:
-            raise ValueError("HNSWIndex state has no vectors and none were provided")
-        vecs = np.asarray(vecs)
+    def from_state(
+        cls, arrays: dict, meta: dict, external_vectors=None, external_store=None
+    ) -> "HNSWIndex":
+        """Rebuild from serialized topology.  Vector source, in priority
+        order: arrays["vectors"] (whole-table shape), `external_store` (an
+        already-populated VecStore, e.g. device-born — the tunnel-friendly
+        pairing for save(include_vectors=False)), or `external_vectors`
+        (host array, the reference's IndexSerdeExternalVecSet shape,
+        mod.rs:143-148)."""
         h = meta["hnsw"]
         cfg = HNSWConfig(
             max_elements=meta["n"], ef_construction=h["ef_construction"], M=h["M"]
         )
-        index = cls(meta["dim"], meta["dist"], cfg)
-        index.store.batch_push(vecs)
+        vecs = arrays.get("vectors", external_vectors)
+        if vecs is None and external_store is None:
+            raise ValueError("HNSWIndex state has no vectors and none were provided")
+        if vecs is not None:
+            vecs = np.asarray(vecs)
+            index = cls(meta["dim"], meta["dist"], cfg)
+            index.store.batch_push(vecs)
+        else:
+            if len(external_store) != meta["n"]:
+                raise ValueError(
+                    f"external store has {len(external_store)} rows, index "
+                    f"topology expects {meta['n']}"
+                )
+            index = cls(meta["dim"], meta["dist"], cfg)
+            index.store = external_store
+            cap = external_store.capacity
+            index.levels = np.zeros(cap, np.int32)
+            index.links0 = np.full((cap, index.config.max_m0), -1, np.int32)
         n = meta["n"]
         index.levels[:n] = arrays["hnsw_levels"]
         index.links0[:n] = arrays["hnsw_links0"]
@@ -1212,6 +1270,6 @@ class HNSWIndex:
         serde.save_arrays(path, arrays, meta)
 
     @classmethod
-    def load(cls, path, external_vectors=None) -> "HNSWIndex":
+    def load(cls, path, external_vectors=None, external_store=None) -> "HNSWIndex":
         arrays, meta = serde.load_arrays(path)
-        return cls.from_state(arrays, meta, external_vectors)
+        return cls.from_state(arrays, meta, external_vectors, external_store)

@@ -168,6 +168,68 @@ def adc_sums(
     return out[:N, :R]
 
 
+_IDS_QT = 128  # query-tile width for adc_dists_for_ids
+
+
+@functools.partial(jax.jit, static_argnames=("dist", "m", "packed", "interpret"))
+def adc_dists_for_ids(
+    lookup: jax.Array,  # (B, m, k) f32 per-query LUT
+    q_norms: jax.Array,  # (B,)
+    codes: jax.Array,  # (N, m) uint8 or (N, ceil(m/2)) packed device codes
+    cb_sqnorm: jax.Array,  # (m, k) f32
+    ids: jax.Array,  # (B, C) int32 candidate ids, -1 invalid
+    dist: str,
+    m: int,
+    packed: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """ADC distances for per-query candidate ids -> (B, C) f32 (+inf where
+    invalid).
+
+    The traversal form of the ADC lookup (HNSW+PQ frontier expansion,
+    hnsw_index.rs:672-697).  The XLA `take_along_axis` formulation
+    (ops/pq.py:adc_lookup_codes) lowers to B*C*m scalar-unit gathers —
+    ~41M per beam iteration at B=1000, C=128, m=320 — and measured ~30
+    ms/query in round 1.  Here the gathered candidate code rows are fed
+    through the PROVEN scan kernel (`adc_sums`) per 128-query tile: it
+    computes sums against the whole tile's LUT rows and the per-query
+    diagonal is selected after.  That does QT=128x redundant MACs, but
+    one-hot matmuls are nearly free on the MXU (~1e10 bf16 MACs per beam
+    iteration ~ 0.05 ms) — a dedicated per-query kernel (elementwise VPU
+    broadcast) OOMed Mosaic's 16M scoped-vmem stack at m=320, and this
+    formulation reuses a kernel whose tiling is already validated on the
+    chip.  The code-row gather stays in XLA (code rows are far below the
+    (32, 128) int8 tile, so per-row DMA cannot be aligned)."""
+    B, C = ids.shape
+    QT = _IDS_QT
+    b_pad = ((B + QT - 1) // QT) * QT
+    if b_pad != B:
+        ids = jnp.pad(ids, ((0, b_pad - B), (0, 0)), constant_values=-1)
+        lookup = jnp.pad(lookup, ((0, b_pad - B), (0, 0), (0, 0)))
+        q_norms = jnp.pad(q_norms, (0, b_pad - B))
+    rows = codes[jnp.maximum(ids, 0)]  # (b_pad, C, cw)
+    cos = dist == "cosine"
+    outs = []
+    for j in range(b_pad // QT):
+        codes_j = rows[j * QT : (j + 1) * QT].reshape(QT * C, rows.shape[-1])
+        lut_j = lookup[j * QT : (j + 1) * QT]  # (QT, m, k)
+        if cos:
+            lut_j = jnp.concatenate([lut_j, cb_sqnorm[None]], axis=0)
+        sums = adc_sums(codes_j, lut_j, packed=packed, interpret=interpret)
+        # diagonal select: candidate row q*C+c belongs to query q
+        diag = sums[:, :QT].reshape(QT, C, QT)
+        qi = jnp.arange(QT, dtype=jnp.int32)[:, None, None]
+        s = jnp.take_along_axis(diag, jnp.broadcast_to(qi, (QT, C, 1)), axis=2)[..., 0]
+        if cos:
+            c_sq = sums[:, QT].reshape(QT, C)
+            norm0 = jnp.sqrt(jnp.maximum(c_sq, 0.0))
+            qn = q_norms[j * QT : (j + 1) * QT]
+            s = 1.0 - s / jnp.maximum(norm0 * qn[:, None], 1e-10)
+        outs.append(s)
+    d = jnp.concatenate(outs, axis=0)[:B]
+    return jnp.where(ids[:B] >= 0, d, jnp.inf)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k_out", "dist", "packed", "exact", "block", "interpret")
 )

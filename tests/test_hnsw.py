@@ -148,3 +148,22 @@ def test_build_from_store_matches_host_build(gist_1000):
     db, ib = b.knn_with_ef_batch(q, 5, 32)
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(da, db, rtol=1e-5, atol=1e-5)
+
+
+def test_save_topology_load_with_external_store(gist_1000, tmp_path):
+    """save(include_vectors=False) + load(external_store=device-born store)
+    reproduces the index exactly — the tunnel-friendly checkpoint pairing."""
+    import jax.numpy as jnp
+    from lab_1806_vec_db_tpu.models.store import VecStore
+
+    vecs = gist_1000[:300, :24].copy()
+    a = HNSWIndex.build(vecs, "l2sqr", HNSWConfig(M=6), seed=2)
+    p = str(tmp_path / "topo.npz")
+    a.save(p, include_vectors=False)
+    store = VecStore.from_device(jnp.asarray(vecs), "l2sqr")
+    b = HNSWIndex.load(p, external_store=store)
+    q = gist_1000[400:410, :24].copy()
+    da, ia = a.knn_with_ef_batch(q, 5, 40)
+    db, ib = b.knn_with_ef_batch(q, 5, 40)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(da, db, rtol=1e-5, atol=1e-5)

@@ -83,3 +83,34 @@ def test_unpack_codes_4bit_dev_roundtrip(rng):
     packed = P.pack_codes_4bit(codes)
     out = np.asarray(P.unpack_codes_4bit_dev(jnp.asarray(packed), 7))
     np.testing.assert_array_equal(out, codes)
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+@pytest.mark.parametrize("packed", [False, True])
+def test_adc_dists_for_ids_matches_xla(dist, packed, gist_1000):
+    """Per-query candidate ADC (the HNSW+PQ traversal kernel) vs the XLA
+    take_along_axis oracle, incl. -1 masking and nibble-packed codes."""
+    pq, lookup, q_norms, n = _fixture(dist, gist_1000)
+    _, _, cb_sq = pq.device()
+    rng = np.random.default_rng(0)
+    B = int(lookup.shape[0])
+    C = 13  # deliberately unaligned
+    ids = rng.integers(0, n, size=(B, C)).astype(np.int32)
+    ids[0, 3] = -1
+    ids[5, :] = -1  # fully-converged query
+    if packed:
+        codes_dev = jnp.asarray(P.pack_codes_4bit(pq.codes))
+    else:
+        codes_dev = jnp.asarray(pq.codes)
+    got = PA.adc_dists_for_ids(
+        lookup, q_norms, codes_dev, cb_sq, jnp.asarray(ids), dist,
+        pq.config.m, packed=packed, interpret=True,
+    )
+    want = P.adc_lookup_codes(
+        jnp.asarray(pq.codes)[jnp.maximum(jnp.asarray(ids), 0)],
+        lookup, cb_sq, dist, q_norms,
+    )
+    want = jnp.where(jnp.asarray(ids) >= 0, want, jnp.inf)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
