@@ -42,41 +42,15 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-_SPECTRUM_CACHE: dict = {}
-
-
 def gist_spectrum(dim: int):
     """PCA model (mean, per-component scales, basis) of the committed real
-    Gist slice, cropped to the first `dim` coordinates.
+    Gist slice — see lab_1806_vec_db_tpu.bench.synth.gist_spectrum (the
+    canonical implementation; matching the real fixture's spectrum is what
+    makes PQ/graph recall behave like the reference's published numbers)."""
+    from lab_1806_vec_db_tpu.bench import synth
 
-    The 2000 real Gist vectors (data/gist_1000.bin + gist_test.bin, the
-    reference's own fixture data) have participation ratio ~20 in 960-d:
-    their energy lives in a few dozen directions.  A synthetic set matched
-    to that spectrum reproduces the distance *contrast* of real Gist —
-    which is what makes PQ/ADC ordering and graph search behave like the
-    published reference numbers.  The earlier isotropic clustered-Gaussian
-    generator has near-zero within-cluster contrast at dim=960, which
-    collapses PQ recall (and flatters int8/IVF); see VERDICT.md round 1.
-    Deterministic: pure function of the committed fixture bytes.
-    """
-    if dim in _SPECTRUM_CACHE:
-        return _SPECTRUM_CACHE[dim]
     here = os.path.dirname(os.path.abspath(__file__))
-    parts = []
-    for name in ("gist_1000.bin", "gist_test.bin"):
-        a = np.fromfile(os.path.join(here, "data", name), dtype=np.float32)
-        parts.append(a.reshape(-1, 960)[:, :dim])
-    x = np.concatenate(parts).astype(np.float64)
-    mu = x.mean(0)
-    _, s, vt = np.linalg.svd(x - mu, full_matrices=False)
-    scales = s / np.sqrt(len(x))  # sqrt(eigenvalues) of the covariance
-    out = (
-        mu.astype(np.float32),
-        scales.astype(np.float32),
-        vt.astype(np.float32),
-    )
-    _SPECTRUM_CACHE[dim] = out
-    return out
+    return synth.gist_spectrum(dim, data_dir=os.path.join(here, "data"))
 
 
 def make_dataset(n: int, dim: int, n_queries: int, seed: int = 0, kind: str = "gist"):

@@ -2,9 +2,17 @@
 
 The reference benchmarks on Gist1M downloaded from an external host
 (README.md dataset section); this environment has no egress, so this tool
-generates a deterministic clustered dataset with the same shape
+generates a deterministic synthetic dataset with the same shape
 (dim=960 float32) plus exact ground truth, wired for the config/*.toml
 sweeps.
+
+Default distribution: Gaussian in the PCA basis of the committed REAL Gist
+fixture slice (`gist_spectrum`), clipped to >= 0 like real Gist.  The real
+slice has participation ratio ~20 in 960-d; matching its spectrum
+reproduces real-Gist distance contrast, which is what makes PQ/ADC
+ordering and graph-search recall behave like the reference's published
+numbers (an isotropic clustered mixture has near-zero within-cluster
+contrast at dim=960 and collapses PQ recall — round-1 VERDICT finding).
 
 Usage:
   python -m lab_1806_vec_db_tpu.bench.synth -n 10000 --prefix data/gist_10000
@@ -21,8 +29,50 @@ import numpy as np
 from ..utils import io
 
 
-def make(n: int, dim: int, seed: int = 0, n_clusters: int = 256, spread: float = 0.35):
+_SPECTRUM_CACHE: dict = {}
+
+
+def gist_spectrum(dim: int, data_dir: str | None = None):
+    """PCA model (mean, sqrt-eigenvalue scales, basis) of the committed
+    real Gist fixture slice (data/gist_1000.bin + gist_test.bin — the
+    reference's own test data), cropped to the first `dim` coordinates.
+    Deterministic: a pure function of the committed fixture bytes."""
+    import os
+
+    if dim in _SPECTRUM_CACHE:
+        return _SPECTRUM_CACHE[dim]
+    if data_dir is None:
+        data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "data")
+    parts = []
+    for name in ("gist_1000.bin", "gist_test.bin"):
+        a = np.fromfile(os.path.join(data_dir, name), dtype=np.float32)
+        parts.append(a.reshape(-1, 960)[:, :dim])
+    x = np.concatenate(parts).astype(np.float64)
+    mu = x.mean(0)
+    _, sv, vt = np.linalg.svd(x - mu, full_matrices=False)
+    scales = sv / np.sqrt(len(x))
+    out = (mu.astype(np.float32), scales.astype(np.float32), vt.astype(np.float32))
+    _SPECTRUM_CACHE[dim] = out
+    return out
+
+
+def make(
+    n: int,
+    dim: int,
+    seed: int = 0,
+    kind: str = "gist",
+    n_clusters: int = 256,
+    spread: float = 0.35,
+):
     rng = np.random.default_rng(seed)
+    if kind == "gist" and dim <= 960:
+        mu, scales, vt = gist_spectrum(dim)
+        z = rng.standard_normal((n, len(scales)), dtype=np.float32)
+        z *= scales
+        x = z @ vt
+        x += mu
+        np.clip(x, 0.0, None, out=x)
+        return x
     centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
     assign = rng.integers(0, n_clusters, size=n)
     return (centers[assign] + spread * rng.standard_normal((n, dim)).astype(np.float32)).astype(np.float32)
@@ -46,12 +96,9 @@ def main(argv=None) -> None:
     print(f"Wrote {out}: {base.shape}")
 
     if args.queries:
-        # queries from the SAME clustered distribution (perturbed base
-        # points) — out-of-distribution queries make quantized search
-        # (PQ/IVF) recall meaningless
-        rng = np.random.default_rng(args.seed + 1)
-        sel = rng.integers(0, args.n, size=args.queries)
-        qs = base[sel] + 0.2 * rng.standard_normal((args.queries, args.dim)).astype(np.float32)
+        # queries from the SAME distribution (fresh draws — in-distribution
+        # queries keep quantized-search recall meaningful)
+        qs = make(args.queries, args.dim, args.seed + 1)
         qout = f"{args.prefix}_test.local.bin"
         io.save_raw(qout, qs.astype(np.float32))
         print(f"Wrote {qout}: {qs.shape}")

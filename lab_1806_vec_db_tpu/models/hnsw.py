@@ -1131,8 +1131,11 @@ class HNSWIndex:
         form measured ~30 ms/query and was the round-1 blocker).
         route="scan": full Pallas ADC scan + exact rerank (same results
         contract: ADC-ordered ef pool, exact top-k; cost nearly flat in
-        ef, linear in N).  "auto" picks graph above ~300k rows, where the
-        O(N) scan crosses the ~iteration-bound traversal cost on a v5e."""
+        ef, linear in N).  "auto" picks scan through ~2.5M rows: measured
+        at 1M the scan dominates the traversal on BOTH axes (0.96
+        recall@ef=120 at 2.0 ms/q vs the graph's 0.85@ef=180 at 2.2 —
+        scoring every row with the one-hot MXU kernel is cheaper than
+        graph-ordering a small subset until N is several million)."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         B = queries.shape[0]
         if len(self.store) == 0 or self.entry_point is None:
@@ -1147,7 +1150,7 @@ class HNSWIndex:
 
         on_tpu = jax.default_backend() != "cpu"
         if route == "auto":
-            route = "graph" if (not on_tpu or len(self.store) > 300_000) else "scan"
+            route = "graph" if (not on_tpu or len(self.store) > 2_500_000) else "scan"
         if on_tpu and route == "scan":
             from ..ops import pallas_gather as PG
 

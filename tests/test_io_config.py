@@ -191,7 +191,11 @@ def test_make_dataset_device_matches_shape():
     import numpy as np
 
     b = np.asarray(base)
-    assert np.isfinite(b).all() and b.std() > 0.5  # clustered standard-normal mix
+    # gist-spectrum data: non-negative (clipped like real Gist), finite,
+    # with per-dim scales matched to the real fixture slice
+    assert np.isfinite(b).all() and (b >= 0).all() and b.std() > 0.01
+    mu, scales, _ = bench.gist_spectrum(64)
+    assert abs(b.mean() - mu.mean()) < 0.05
     # deterministic per seed
     base2, queries2, _ = bench.make_dataset_device(1000, 64, 16, seed=3)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(base2))
