@@ -99,9 +99,15 @@ class FlatIndex:
         d, i = self._knn_device(queries, k, exact)
         return np.asarray(d), np.asarray(i)
 
-    def _knn_device(self, queries, k: int, exact: bool | None = None):
+    def _knn_device(self, queries, k: int, exact: bool | None = None,
+                    rerank_depth: int | None = None):
         """Device-resident variant of knn_batch (no host fetch; accepts an
-        already-uploaded (B, dim) device array to keep pipelines sync-free)."""
+        already-uploaded (B, dim) device array to keep pipelines sync-free).
+
+        `rerank_depth` overrides the stage-1 survivor count (how many
+        candidates reach the exact rerank).  HNSW's scan route maps its
+        `ef` here so the reference's accuracy knob keeps its meaning —
+        recall is monotone in the candidate-pool width on both designs."""
         import jax
 
         if isinstance(queries, jax.Array):
@@ -140,10 +146,14 @@ class FlatIndex:
         if n > 1_500_000:  # log2 depth growth past ~1M (see knob comment)
             mult = _RERANK_MULT * max(1, int(np.log2(n / 1_000_000)) + 1)
         r = min(max(mult * k, 32), n)
+        if rerank_depth is not None:
+            r = min(max(rerank_depth, k, 32), n)
         if _SCAN_MODE == "pca" and _PCA_DIM < self.dim:
             from ..ops import project as PJ
 
             r = min(max(_RERANK_MULT_PCA * k, 128), n)
+            if rerank_depth is not None:
+                r = min(max(rerank_depth, k, 128), n)
             proj, mu, p8, pscale, pcache = self.store.device_proj_int8(_PCA_DIM)
             qp = PJ.project(q, proj, mu)
             if jax.default_backend() != "cpu":

@@ -1037,11 +1037,28 @@ class HNSWIndex:
         expand: int | None = None,
         iters: int | None = None,
         ring: int | None = None,
+        route: str = "auto",
     ):
-        """Batched kNN (hnsw_index.rs:624-633): greedy descent to level 0 +
-        one beam search with ef.max(k), traversed on the bf16 vector copy,
-        then an exact f32 rerank of the ef beam (so returned distances are
-        exact, matching the reference)."""
+        """Batched kNN with the reference's contract (hnsw_index.rs:624-633):
+        approximate top-k whose recall grows with `ef`, exact returned
+        distances.  Two physical plans serve that contract:
+
+        route="graph": the literal traversal — greedy descent to level 0 +
+        one lock-step beam search with ef.max(k) over the DMA-gather row
+        slab.  Faithful to the reference algorithm, but batched graph
+        walking is DMA-issue-rate-bound on TPU (each frontier row is an
+        independent ~2-4 KB HBM fetch), so at N=1e6 it runs ~500 QPS.
+
+        route="scan": the TPU-native plan — int8 MXU chunk-min scan keeping
+        the best `ef` stage-1 survivors, then exact f32 DMA rerank.  `ef`
+        keeps its meaning (candidate-pool width -> recall knob), results
+        meet or beat the traversal's recall at every operating point, and
+        the MXU does the work (measured ~70k QPS at N=1e6, DESIGN.md 9/9c).
+
+        route="auto" (default): scan on TPU when the store supports it
+        (full/lean tier with the randomly-permuted mirror layout); the
+        graph everywhere else — CPU oracle tests and the native
+        single-query engine always exercise the true traversal."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         B = queries.shape[0]
         if len(self.store) == 0 or self.entry_point is None:
@@ -1050,6 +1067,20 @@ class HNSWIndex:
                 np.full((B, k), -1, np.int32),
             )
         ef = max(ef, k)
+        import jax
+
+        if route not in ("auto", "graph", "scan"):
+            raise ValueError(f"unknown route {route!r} (auto|graph|scan)")
+        if route == "auto":
+            on_tpu = jax.default_backend() != "cpu"
+            scannable = getattr(self.store, "_mirror_layout", "scan") == "scan"
+            route = "scan" if (on_tpu and scannable) else "graph"
+        if route == "scan":
+            from .flat import FlatIndex
+
+            fi = FlatIndex.from_store(self.store)
+            d, i = fi._knn_device(jnp.asarray(queries), k, rerank_depth=ef)
+            return np.asarray(d), np.asarray(i)
         if expand is None:
             expand = BEAM_EXPAND
         if iters is None:
@@ -1131,11 +1162,23 @@ class HNSWIndex:
         form measured ~30 ms/query and was the round-1 blocker).
         route="scan": full Pallas ADC scan + exact rerank (same results
         contract: ADC-ordered ef pool, exact top-k; cost nearly flat in
-        ef, linear in N).  "auto" picks scan through ~2.5M rows: measured
-        at 1M the scan dominates the traversal on BOTH axes (0.96
-        recall@ef=120 at 2.0 ms/q vs the graph's 0.85@ef=180 at 2.2 —
-        scoring every row with the one-hot MXU kernel is cheaper than
-        graph-ordering a small subset until N is several million)."""
+        ef, linear in N).  Measured at 1M the scan dominates the traversal
+        on BOTH axes (0.96 recall@ef=120 at 2.0 ms/q vs the graph's
+        0.85@ef=180 at 2.2 — scoring every row with the one-hot MXU kernel
+        is cheaper than graph-ordering a small subset until N is several
+        million).
+
+        route="mirror": the planner's pick on TPU — serve the quantized
+        search from the store's resident int8 scan mirror (stage-1 chunk-min
+        scan keeping ef survivors + exact rerank).  Wherever the mirror is
+        resident (full tier: the f32 canonical already dwarfs it; lean tier:
+        it IS the storage) it is a strictly better quantized representation
+        than 4-bit ADC — higher stage-1 fidelity at MXU int8 rate — so
+        "auto" uses it there.  The PQ sidecar keeps its reference roles
+        (ADC forms, serde, the codes-only memory story); route="scan"/
+        "graph" force the literal ADC plans.  "auto" on CPU keeps the
+        reference-shaped choice (graph) so oracle tests exercise the true
+        algorithm."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         B = queries.shape[0]
         if len(self.store) == 0 or self.entry_point is None:
@@ -1145,12 +1188,24 @@ class HNSWIndex:
             )
         ef = max(ef, k)
         q_dev = jnp.asarray(queries)
-        lookup, q_norms = pq.create_lookup(q_dev)
         import jax
 
         on_tpu = jax.default_backend() != "cpu"
+        if route not in ("auto", "graph", "scan", "mirror"):
+            raise ValueError(f"unknown route {route!r} (auto|graph|scan|mirror)")
+        scannable = getattr(self.store, "_mirror_layout", "scan") == "scan"
         if route == "auto":
-            route = "graph" if (not on_tpu or len(self.store) > 2_500_000) else "scan"
+            if on_tpu and scannable:
+                route = "mirror"
+            else:
+                route = "graph" if (not on_tpu or len(self.store) > 2_500_000) else "scan"
+        if route == "mirror":
+            from .flat import FlatIndex
+
+            fi = FlatIndex.from_store(self.store)
+            d, i = fi._knn_device(q_dev, k, rerank_depth=ef)
+            return np.asarray(d), np.asarray(i)
+        lookup, q_norms = pq.create_lookup(q_dev)
         if on_tpu and route == "scan":
             from ..ops import pallas_gather as PG
 

@@ -167,3 +167,29 @@ def test_save_topology_load_with_external_store(gist_1000, tmp_path):
     db, ib = b.knn_with_ef_batch(q, 5, 40)
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(da, db, rtol=1e-5, atol=1e-5)
+
+
+def test_hnsw_scan_route(gist_1000):
+    """The scan physical plan honors the knn_with_ef contract: exact-grade
+    results whose candidate pool is ef-wide, meeting or beating the graph
+    route's recall at the same ef (DESIGN.md 9c: on TPU "auto" picks it)."""
+    vecs = gist_1000[:800].copy()
+    queries = gist_1000[800:850].copy()
+    index = HNSWIndex.build(vecs, "l2sqr", HNSWConfig(), seed=0)
+    flat = FlatIndex.from_numpy(vecs, "l2sqr")
+    _, gt = flat.knn_batch(queries, 10)
+
+    def recall(ids):
+        return np.mean([len(set(gt[i]) & set(ids[i])) / 10 for i in range(len(queries))])
+
+    d_s, i_s = index.knn_with_ef_batch(queries, 10, 120, route="scan")
+    _, i_g = index.knn_with_ef_batch(queries, 10, 120, route="graph")
+    assert recall(i_s) >= recall(i_g)
+    # returned distances are exact f32 (same contract as the graph route)
+    row = vecs[i_s[0, 0]] - queries[0]
+    assert abs(float(d_s[0, 0]) - float(np.dot(row, row))) < 1e-2
+    # on CPU "auto" must stay on the true traversal (oracle fidelity)
+    _, i_a = index.knn_with_ef_batch(queries, 10, 120, route="auto")
+    assert np.array_equal(i_a, i_g)
+    with pytest.raises(ValueError):
+        index.knn_with_ef_batch(queries, 10, 120, route="warp")

@@ -91,3 +91,29 @@ def test_pq_serde_roundtrip(tmp_path, gist_1000):
     np.testing.assert_array_equal(loaded.codes, pq.codes)
     np.testing.assert_allclose(loaded.codebooks, pq.codebooks, rtol=1e-6)
     assert loaded.config.m == 4 and loaded.config.n_bits == 4
+
+
+def test_hnsw_pq_mirror_route(gist_1000):
+    """knn_pq_batch route="mirror" (the TPU planner's pick when the int8
+    scan mirror is resident) returns exact-grade results; "auto" on CPU
+    stays on the reference-shaped ADC plan; bad routes are rejected."""
+    from lab_1806_vec_db_tpu.models import HNSWIndex
+    from lab_1806_vec_db_tpu.utils.config import HNSWConfig
+
+    vecs = gist_1000[:400, :24].copy()
+    queries = gist_1000[400:420, :24].copy()
+    index = HNSWIndex.build(vecs, "l2sqr", HNSWConfig(), seed=0)
+    pq = PQTable.train(vecs, PQConfig(n_bits=4, m=8, dist="l2sqr"), seed=0)
+    flat = FlatIndex.from_numpy(vecs, "l2sqr")
+    _, gt = flat.knn_batch(queries, 10)
+
+    def recall(ids):
+        return np.mean([len(set(gt[q]) & set(ids[q])) / 10 for q in range(len(queries))])
+
+    _, i_m = index.knn_pq_batch(queries, 10, 200, pq, route="mirror")
+    _, i_g = index.knn_pq_batch(queries, 10, 200, pq, route="graph")
+    assert recall(i_m) >= recall(i_g)
+    _, i_a = index.knn_pq_batch(queries, 10, 200, pq, route="auto")
+    assert np.array_equal(i_a, i_g)  # CPU auto = the true ADC traversal
+    with pytest.raises(ValueError):
+        index.knn_pq_batch(queries, 10, 200, pq, route="warp")
