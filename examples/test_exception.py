@@ -6,7 +6,14 @@ dirty state periodically and `close()`/atexit flush the rest.
 
 import shutil
 
-from lab_1806_vec_db_tpu import VecDB
+try:
+    from lab_1806_vec_db_tpu import VecDB
+except ModuleNotFoundError:  # clean checkout, package not installed: run in place
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from lab_1806_vec_db_tpu import VecDB
 
 shutil.rmtree("./tmp/exc_db", ignore_errors=True)
 

@@ -10,7 +10,14 @@ import time
 
 import numpy as np
 
-from lab_1806_vec_db_tpu import VecDB
+try:
+    from lab_1806_vec_db_tpu import VecDB
+except ModuleNotFoundError:  # clean checkout, package not installed: run in place
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from lab_1806_vec_db_tpu import VecDB
 
 shutil.rmtree("./tmp/mt_db", ignore_errors=True)
 db = VecDB("./tmp/mt_db")

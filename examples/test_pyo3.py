@@ -11,7 +11,14 @@ Run: python examples/test_pyo3.py
 import shutil
 import tempfile
 
-from lab_1806_vec_db_tpu import VecDB
+try:
+    from lab_1806_vec_db_tpu import VecDB
+except ModuleNotFoundError:  # clean checkout, package not installed: run in place
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from lab_1806_vec_db_tpu import VecDB
 
 TABLE = "fruits"
 DIM = 4

@@ -80,6 +80,12 @@ class FlatIndex:
     def __len__(self) -> int:
         return len(self.store)
 
+    def index_bytes(self) -> int:
+        """Device-HBM footprint of this index (store arrays; Flat has no
+        topology) — recorded per sweep row (BASELINE.md: equal index
+        memory)."""
+        return self.store.device_bytes()
+
     def add(self, vec) -> int:
         return self.store.push(vec)
 
@@ -231,6 +237,7 @@ class FlatIndex:
         import jax
 
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        pq.warn_if_unreliable("FlatIndex.knn_pq (ADC candidate ordering)")
         q_dev = jnp.asarray(queries)
         lookup, q_norms = pq.create_lookup(q_dev)
         n_cand = max(ef, k)

@@ -436,6 +436,18 @@ class HNSWIndex:
             self._links0_full_dirty = True
             self._links0_dirty_rows.clear()
 
+    def index_bytes(self) -> int:
+        """Device-HBM footprint: store arrays + graph topology (links0 +
+        upper levels) — the sweep rows' "index memory" record."""
+        total = self.store.device_bytes()
+        if self._dev_links0 is not None:
+            total += int(self._dev_links0.nbytes)
+        for ul in self.upper:
+            for a in (ul._dev_links, ul._dev_pos):
+                if a is not None:
+                    total += int(a.nbytes)
+        return total
+
     def _enter_links_bulk(self) -> None:
         """Make the device links matrix canonical for a bulk insert."""
         if self._links0_canonical_dev:
@@ -1205,6 +1217,8 @@ class HNSWIndex:
             fi = FlatIndex.from_store(self.store)
             d, i = fi._knn_device(q_dev, k, rerank_depth=ef)
             return np.asarray(d), np.asarray(i)
+        # graph/scan candidate ordering is ADC — loud fallback check
+        pq.warn_if_unreliable(f"HNSWIndex.knn_pq route={route!r}")
         lookup, q_norms = pq.create_lookup(q_dev)
         if on_tpu and route == "scan":
             from ..ops import pallas_gather as PG

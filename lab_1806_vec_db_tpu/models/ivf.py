@@ -252,6 +252,19 @@ class IVFIndex:
     def dist(self) -> str:
         return self.store.dist
 
+    def index_bytes(self) -> int:
+        """Device-HBM footprint: store arrays + centroids/posting matrices
+        (+ the binned-scan sorted mirror when built)."""
+        total = self.store.device_bytes()
+        for a in (self._dev_centroids, self._dev_posting):
+            if a is not None:
+                total += int(a.nbytes)
+        if self._dev_binned is not None:
+            for a in self._dev_binned:
+                if hasattr(a, "nbytes"):
+                    total += int(a.nbytes)
+        return total
+
     def __len__(self) -> int:
         return len(self.store)
 

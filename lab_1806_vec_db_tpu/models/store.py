@@ -363,6 +363,31 @@ class VecStore:
         store._int8_ok = (verdict if verdict is not None else True, max(n, 1))
         return store
 
+    def device_bytes(self) -> int:
+        """Total bytes of this store's live DEVICE arrays (canonical copy,
+        caches, mirrors, slabs) — the store half of a sweep row's "index
+        memory" (the reference records index size implicitly via its serde
+        files; here HBM residency is the scarce resource)."""
+        total = 0
+
+        def add(x):
+            nonlocal total
+            if x is None:
+                return
+            if isinstance(x, (tuple, list)):
+                for y in x:
+                    add(y)
+            elif hasattr(x, "nbytes"):
+                total += int(x.nbytes)
+
+        add(self._dev)
+        add(self._dev_cache)
+        add(self._dev_bf16)
+        add(self._dev_rerank)
+        add(self._dev_int8)
+        add(self._dev_proj)
+        return total
+
     def free_scan_mirrors(self) -> None:
         """Release the derived int8/projection scan mirrors (device HBM).
 

@@ -500,6 +500,13 @@ class ShardedHNSWIndex:
                     pos[s, : len(ul.pos)] = ul.pos
             uppers.append((lk, pos))
 
+        self._place(vecs, links0, uppers, entries, n_local)
+
+    def _place(self, vecs, links0, uppers, entries, n_local) -> None:
+        """device_put the stacked per-shard arrays with `P("data", ...)`
+        shardings so each chip holds exactly its own sub-graph."""
+        mesh, dist = self.mesh, self.dist
+        n_dev, cap, _ = vecs.shape
         row = NamedSharding(mesh, P("data", None, None))
         vec1 = NamedSharding(mesh, P("data", None))
         dev1 = NamedSharding(mesh, P("data"))
@@ -509,12 +516,89 @@ class ShardedHNSWIndex:
             in_shardings=row,
             out_shardings=vec1,
         )(self.vecs)
-        self.links0 = jax.device_put(links0, row)
+        self.links0 = jax.device_put(np.ascontiguousarray(links0), row)
         self.uppers = tuple(
-            (jax.device_put(lk, row), jax.device_put(pos, vec1)) for lk, pos in uppers
+            (jax.device_put(np.ascontiguousarray(lk), row),
+             jax.device_put(np.ascontiguousarray(pos), vec1))
+            for lk, pos in uppers
         )
-        self.entries = jax.device_put(entries, dev1)
-        self.n_local = jax.device_put(n_local, dev1)
+        self.entries = jax.device_put(np.ascontiguousarray(entries), dev1)
+        self.n_local = jax.device_put(np.ascontiguousarray(n_local), dev1)
+
+    # ---- serde (VERDICT r3 item 3: sharded indexes must save/load) ----
+    def save(self, path: str, include_vectors: bool = True) -> None:
+        """One npz holding the stacked per-shard topology (+ vectors unless
+        the base is stored externally — the reference's external-vec-set
+        shape, index_algorithm/mod.rs:143-148)."""
+        from ..utils.serde import atomic_write_npz
+
+        arrays = {
+            "links0": np.asarray(self.links0),
+            "entries": np.asarray(self.entries),
+            "n_local": np.asarray(self.n_local),
+        }
+        for lvl, (lk, pos) in enumerate(self.uppers):
+            arrays[f"upper_links_{lvl}"] = np.asarray(lk)
+            arrays[f"upper_pos_{lvl}"] = np.asarray(pos)
+        if include_vectors:
+            arrays["vecs"] = np.asarray(self.vecs)
+        meta = dict(
+            kind="sharded_hnsw", dist=self.dist, n=self.n, dim=self.dim,
+            shard=self.shard, n_dev=int(self.mesh.devices.size),
+            cap=int(self.links0.shape[1]), n_uppers=len(self.uppers),
+            default_ef=self.default_ef,
+            ef_construction=self.config.ef_construction, M=self.config.M,
+        )
+        atomic_write_npz(path, arrays, meta)
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh, external_base: np.ndarray | None = None) -> "ShardedHNSWIndex":
+        """Re-place a saved sharded index on `mesh`.  The mesh must have the
+        same device count the index was saved with (the topology is
+        per-shard); pass `external_base` (the original (n, dim) rows) for
+        files saved with include_vectors=False."""
+        from ..utils.config import HNSWConfig
+        from ..utils.serde import read_npz
+
+        arrays, meta = read_npz(path)
+        if meta.get("kind") != "sharded_hnsw":
+            raise ValueError(f"{path} is not a sharded HNSW checkpoint")
+        n_dev = int(meta["n_dev"])
+        if mesh.devices.size != n_dev:
+            raise ValueError(
+                f"checkpoint was sharded over {n_dev} devices; the mesh has "
+                f"{mesh.devices.size} — per-shard graph topology cannot be "
+                "re-split (rebuild instead)"
+            )
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.dist = meta["dist"]
+        self.n = int(meta["n"])
+        self.dim = int(meta["dim"])
+        self.shard = int(meta["shard"])
+        self.default_ef = int(meta["default_ef"])
+        self.config = HNSWConfig(
+            ef_construction=int(meta["ef_construction"]), M=int(meta["M"])
+        )
+        cap = int(meta["cap"])
+        if "vecs" in arrays:
+            vecs = arrays["vecs"]
+        else:
+            if external_base is None:
+                raise ValueError(
+                    f"{path} was saved without vectors; pass external_base"
+                )
+            vecs = np.zeros((n_dev, cap, self.dim), np.float32)
+            for s in range(n_dev):
+                lo = min(s * self.shard, self.n)
+                hi = min(lo + self.shard, self.n)
+                vecs[s, : hi - lo] = external_base[lo:hi]
+        uppers = [
+            (arrays[f"upper_links_{lvl}"], arrays[f"upper_pos_{lvl}"])
+            for lvl in range(int(meta["n_uppers"]))
+        ]
+        self._place(vecs, arrays["links0"], uppers, arrays["entries"], arrays["n_local"])
+        return self
 
     def knn_with_ef_batch(self, queries: np.ndarray, k: int, ef: int, expand: int | None = None):
         from ..models.hnsw import BEAM_EXPAND, _pow2

@@ -88,6 +88,17 @@ class PQConfig:
     k_means_size: int | None = None
     k_means_max_iter: int = 20
     k_means_tol: float = 1e-6
+    # `rotate=True` trains/encodes in a distance-preserving transformed
+    # space: L2Sqr centers on the training mean (translation-invariant) and
+    # applies a seeded random orthogonal rotation; Cosine applies the
+    # rotation only (rotations preserve dots and norms; translations do
+    # not).  This is the classic fix for data whose variance concentrates
+    # in a few directions (e.g. Gist's PCA spectrum): without it most PQ
+    # groups carry near-zero variance and 4-bit subquantizers collapse.
+    # The reference has no equivalent knob (pq_table.rs trains in the raw
+    # space); exactness/serde contracts are unchanged because ADC distances
+    # in the rotated space ARE the original-space distances.
+    rotate: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "PQConfig":
@@ -98,6 +109,7 @@ class PQConfig:
             k_means_size=d.get("k_means_size"),
             k_means_max_iter=int(d.get("k_means_max_iter", 20)),
             k_means_tol=float(d.get("k_means_tol", 1e-6)),
+            rotate=bool(d.get("rotate", False)),
         )
 
 

@@ -193,3 +193,41 @@ def test_hnsw_scan_route(gist_1000):
     assert np.array_equal(i_a, i_g)
     with pytest.raises(ValueError):
         index.knn_with_ef_batch(queries, 10, 120, route="warp")
+
+
+def test_hnsw_scan_route_two_stage(gist_1000, monkeypatch):
+    """The scan route's ef plumbing genuinely reaches FlatIndex's two-stage
+    path (int8 stage-1 keeping `ef` survivors + exact rerank): with
+    _EXACT_BELOW forced to 0 the n<=8192 exact shortcut is off.  A spy on
+    the stage-1 kernel proves (a) the two-stage path runs at all and (b)
+    `ef` arrives as the stage-1 survivor count (rerank_depth), i.e. the
+    reference's accuracy knob is live, not shadowed by the exact branch."""
+    import lab_1806_vec_db_tpu.models.flat as flat_mod
+    from lab_1806_vec_db_tpu.ops import topk as T
+
+    monkeypatch.setattr(flat_mod, "_EXACT_BELOW", 0)
+    seen_r: list[int] = []
+    real = T.scan_candidates_int8
+
+    def spy(q, base, scales, cache, cap, r, dist):
+        seen_r.append(int(r))
+        return real(q, base, scales, cache, cap, r, dist)
+
+    monkeypatch.setattr(flat_mod.T, "scan_candidates_int8", spy)
+    vecs = gist_1000[:800].copy()
+    queries = gist_1000[800:850].copy()
+    index = HNSWIndex.build(vecs, "l2sqr", HNSWConfig(), seed=0)
+    flat = FlatIndex.from_numpy(vecs, "l2sqr")
+    _, gt = flat.knn_batch(queries, 10, exact=True)
+
+    def recall(ids):
+        return np.mean([len(set(gt[i]) & set(ids[i])) / 10 for i in range(len(queries))])
+
+    _, ids = index.knn_with_ef_batch(queries, 10, 120, route="scan")
+    assert seen_r[-1] == 120  # ef -> stage-1 survivor count, verbatim
+    assert recall(ids) >= 0.95  # exact rerank repairs int8 ordering noise
+    _, ids = index.knn_with_ef_batch(queries, 10, 400, route="scan")
+    assert seen_r[-1] == 400
+    # the floor (max(ef, k, 32)) applies to starved ef
+    index.knn_with_ef_batch(queries, 10, 10, route="scan")
+    assert seen_r[-1] == 32

@@ -117,3 +117,37 @@ def test_hnsw_pq_mirror_route(gist_1000):
     assert np.array_equal(i_a, i_g)  # CPU auto = the true ADC traversal
     with pytest.raises(ValueError):
         index.knn_pq_batch(queries, 10, 200, pq, route="warp")
+
+
+def test_hnsw_pq_mirror_route_two_stage(gist_1000, monkeypatch):
+    """route="mirror" with the exact-scan shortcut disabled really runs the
+    int8 two-stage plan with ef as the stage-1 survivor count: a spy on the
+    stage-1 kernel proves the plumbing under test (flat.py rerank_depth=ef)
+    is live rather than shadowed by the n<=8192 exact branch."""
+    import lab_1806_vec_db_tpu.models.flat as flat_mod
+    from lab_1806_vec_db_tpu.models import HNSWIndex
+    from lab_1806_vec_db_tpu.ops import topk as T
+    from lab_1806_vec_db_tpu.utils.config import HNSWConfig
+
+    monkeypatch.setattr(flat_mod, "_EXACT_BELOW", 0)
+    seen_r: list[int] = []
+    real = T.scan_candidates_int8
+
+    def spy(q, base, scales, cache, cap, r, dist):
+        seen_r.append(int(r))
+        return real(q, base, scales, cache, cap, r, dist)
+
+    monkeypatch.setattr(flat_mod.T, "scan_candidates_int8", spy)
+    vecs = gist_1000[:400].copy()
+    queries = gist_1000[400:420].copy()
+    index = HNSWIndex.build(vecs, "l2sqr", HNSWConfig(), seed=0)
+    pq = PQTable.train(vecs, PQConfig(n_bits=4, m=320, dist="l2sqr"), seed=0)
+    flat = FlatIndex.from_numpy(vecs, "l2sqr")
+    _, gt = flat.knn_batch(queries, 10, exact=True)
+
+    def recall(ids):
+        return np.mean([len(set(gt[q]) & set(ids[q])) / 10 for q in range(len(queries))])
+
+    _, i_m = index.knn_pq_batch(queries, 10, 300, pq, route="mirror")
+    assert seen_r[-1] == 300  # ef reached stage-1 as the survivor count
+    assert recall(i_m) >= 0.95  # exact rerank over a 300-wide int8 pool
