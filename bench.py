@@ -577,25 +577,40 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
     summary["scan_recall"] = results[-1]["recall"][0]
 
     # -- HNSW build (M=16, efc=200) --
-    log("[2/6] HNSW build (M=16, efc=200)")
-    t0 = time.perf_counter()
-    hnsw = HNSWIndex.build_from_store(
-        store, HNSWConfig(ef_construction=200, M=16), seed=42,
-        progress=progress_bar(n, "hnsw-build"),
-    )
-    build_s = time.perf_counter() - t0
-    log(f"build in {build_s:.1f}s ({n/build_s:.0f} vec/s)")
-    summary["hnsw_build_seconds"] = round(build_s, 1)
-    store.free_scan_mirrors()  # graph sweep needs slab+links, not mirrors
-
     efs = [120, 180, 240, 360]
-    log("[3/6] HNSW graph route (literal beam traversal)")
-    sweep_host(
-        f"tpu-hnsw route=graph M16 efc200 (build {build_s:.0f}s)", efs,
-        lambda ef: hnsw.knn_with_ef_batch(queries, k, ef, route="graph"),
-        extra={"build_seconds": round(build_s, 1),
-               "index_device_bytes": hnsw.index_bytes()},
-    )
+    try:
+        log("[2/6] HNSW build (M=16, efc=200)")
+        # drop the scan sweep's mirrors first: the f32 rerank slab + int8
+        # mirror (~4.9 GB at 1M x 960) left resident alongside the build's
+        # own working set OOMed a shared 16 GB chip (round-3 first run);
+        # every mirror rebuilds lazily when the later sweeps need it
+        store.free_search_caches()
+        t0 = time.perf_counter()
+        hnsw = HNSWIndex.build_from_store(
+            store, HNSWConfig(ef_construction=200, M=16), seed=42,
+            progress=progress_bar(n, "hnsw-build"),
+        )
+        build_s = time.perf_counter() - t0
+        log(f"build in {build_s:.1f}s ({n/build_s:.0f} vec/s)")
+        summary["hnsw_build_seconds"] = round(build_s, 1)
+        store.free_scan_mirrors()  # graph sweep needs slab+links, not mirrors
+
+        log("[3/6] HNSW graph route (literal beam traversal)")
+        sweep_host(
+            f"tpu-hnsw route=graph M16 efc200 (build {build_s:.0f}s)", efs,
+            lambda ef: hnsw.knn_with_ef_batch(queries, k, ef, route="graph"),
+            extra={"build_seconds": round(build_s, 1),
+                   "index_device_bytes": hnsw.index_bytes()},
+        )
+        g = results[-1]
+        summary["hnsw_graph_ef120_qps"] = round(1000.0 / g["ms"][0], 1)
+        summary["hnsw_graph_ef120_recall"] = g["recall"][0]
+        # free the graph (links + slab stay with the store) before the scan
+        # blocks; the planner's scan route needs none of the topology
+        del hnsw
+    except Exception as e:  # keep later blocks if the build OOMs
+        log(f"HNSW build/graph block failed: {e!r}")
+        build_s = float("nan")
 
     log("[4/6] HNSW scan route (production auto plan)")
     sweep_device(
@@ -603,11 +618,9 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
         lambda q, ef: FlatIndex.from_store(store)._knn_device(q, k, rerank_depth=ef),
         extra={"index_device_bytes": flat.index_bytes()},
     )
-    g, s = results[-2], results[-1]
+    s = results[-1]
     summary["hnsw_ef120_qps"] = round(1000.0 / s["ms"][0], 1)
     summary["hnsw_ef120_recall"] = s["recall"][0]
-    summary["hnsw_graph_ef120_qps"] = round(1000.0 / g["ms"][0], 1)
-    summary["hnsw_graph_ef120_recall"] = g["recall"][0]
 
     # -- PQ m=320 n_bits=4 (reference flagship quantized config) --
     log("[5/6] PQ train m=320 n_bits=4 (100k sample = reference 0.1 proportion)")

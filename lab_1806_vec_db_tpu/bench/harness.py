@@ -120,6 +120,46 @@ class ResultList:
         atomic_write_bytes(path, html.encode())
 
 
+def load_or_build_sharded(config: BenchConfig, base: np.ndarray, seed: int = 42):
+    """Mesh-sharded build-or-load (the `mesh = N` config key): the sharded
+    counterpart of `load_or_build_index`, over the first N devices."""
+    from ..parallel import sharded as S
+
+    mesh = S.make_mesh(config.mesh)
+    algo = config.algorithm.name
+    cache = config.index_cache
+    cls = {
+        "Flat": S.ShardedFlatIndex,
+        "HNSW": S.ShardedHNSWIndex,
+        "IVF": S.ShardedIVFIndex,
+    }[algo]
+    if config.pq is not None:
+        if algo != "Flat":
+            raise ValueError("mesh sweeps support PQ on the Flat algorithm")
+        cls = S.ShardedPQFlatIndex
+    if cache and os.path.exists(cache):
+        t0 = time.perf_counter()
+        index = cls.load(cache, mesh, external_base=base)
+        print(f"Loaded sharded {algo} index from {cache} in {time.perf_counter()-t0:.2f}s")
+        return index, None
+    t0 = time.perf_counter()
+    if algo == "Flat":
+        if config.pq is not None:
+            pq, _ = load_or_build_pq(config, base, seed)
+            index = S.ShardedPQFlatIndex(mesh, base, pq, config.dist)
+        else:
+            index = S.ShardedFlatIndex(mesh, base, config.dist)
+    elif algo == "HNSW":
+        index = S.ShardedHNSWIndex(mesh, base, config.dist, config.algorithm.hnsw, seed=seed)
+    else:
+        index = S.ShardedIVFIndex(mesh, base, config.dist, config.algorithm.ivf, seed=seed)
+    build_s = time.perf_counter() - t0
+    print(f"Built sharded {algo} index over {config.mesh} devices in {build_s:.2f}s")
+    if cache:
+        index.save(cache, include_vectors=False)
+    return index, build_s
+
+
 def load_or_build_index(config: BenchConfig, base: np.ndarray, seed: int = 42):
     """Disk-cached index build with timing (bench.rs:208-266)."""
     algo = config.algorithm.name
@@ -177,24 +217,47 @@ def run_bench(
     gt = GroundTruth.load(config.gnd_path)
     k = gt.k
 
-    index, _ = load_or_build_index(config, base)
-    pq, _ = load_or_build_pq(config, base)
+    if config.mesh > 0:
+        from ..parallel import sharded as S
 
-    def search_all(ef: int) -> np.ndarray:
-        B = batch or len(test)
-        out = []
-        for s in range(0, len(test), B):
-            q = test[s : s + B]
-            if pq is not None:
-                _, ids = index.knn_pq_batch(q, k, ef, pq)
-            elif isinstance(index, HNSWIndex):
-                _, ids = index.knn_with_ef_batch(q, k, ef)
-            elif isinstance(index, IVFIndex):
-                _, ids = index.knn_batch(q, k, n_probes=ef)
-            else:
-                _, ids = index.knn_batch(q, k)
-            out.append(ids)
-        return np.concatenate(out, axis=0)
+        index, _ = load_or_build_sharded(config, base)
+        pq = None  # ShardedPQFlatIndex carries its table internally
+
+        def search_all(ef: int) -> np.ndarray:
+            B = batch or len(test)
+            out = []
+            for s in range(0, len(test), B):
+                q = test[s : s + B]
+                if isinstance(index, S.ShardedHNSWIndex):
+                    _, ids = index.knn_with_ef_batch(q, k, ef)
+                elif isinstance(index, S.ShardedIVFIndex):
+                    _, ids = index.knn_batch(q, k, n_probes=ef)
+                elif isinstance(index, S.ShardedPQFlatIndex):
+                    _, ids = index.knn_batch(q, k, ef=ef)
+                else:
+                    _, ids = index.knn_batch(q, k)
+                out.append(ids)
+            return np.concatenate(out, axis=0)
+
+    else:
+        index, _ = load_or_build_index(config, base)
+        pq, _ = load_or_build_pq(config, base)
+
+        def search_all(ef: int) -> np.ndarray:
+            B = batch or len(test)
+            out = []
+            for s in range(0, len(test), B):
+                q = test[s : s + B]
+                if pq is not None:
+                    _, ids = index.knn_pq_batch(q, k, ef, pq)
+                elif isinstance(index, HNSWIndex):
+                    _, ids = index.knn_with_ef_batch(q, k, ef)
+                elif isinstance(index, IVFIndex):
+                    _, ids = index.knn_batch(q, k, n_probes=ef)
+                else:
+                    _, ids = index.knn_batch(q, k)
+                out.append(ids)
+            return np.concatenate(out, axis=0)
 
     efs, times, recalls = [], [], []
     for ef in config.ef:

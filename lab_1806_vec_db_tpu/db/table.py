@@ -87,6 +87,7 @@ class MetadataVecTable:
             if all(m.get(k) == v for k, v in pattern.items())
         ]
         flat = self.inner.inner  # downgraded above
+        self.inner.note_mutation()
         for i in reversed(matches):
             # swap_remove on metadata + vec store, mirroring the reference
             last = len(self.metadata) - 1
@@ -182,15 +183,15 @@ class MetadataVecTable:
         queries = self._cast_rows(queries)
         if len(self) == 0:
             return [[] for _ in range(len(queries))]
-        index = self.inner.inner
         if ef is not None and self.pq is not None:
-            d, ids = index.knn_pq_batch(queries, k, ef, self.pq)
+            d, ids = self.inner.knn_pq_batch(queries, k, ef, self.pq)
         elif ef is not None and self.inner.is_hnsw:
-            d, ids = index.knn_with_ef_batch(queries, k, ef)
+            d, ids = self.inner.knn_with_ef_batch(queries, k, ef)
         else:
             # Flat ignores ef (dynamic_index.rs:75-80); HNSW without ef uses
-            # its default_ef via knn_batch
-            d, ids = index.knn_batch(queries, k)
+            # its default_ef via knn_batch.  Dispatch through DynamicIndex so
+            # the VECDB_TPU_MESH opt-in covers batched search too.
+            d, ids = self.inner.knn_batch(queries, k)
         ub = float("inf") if upper_bound is None else upper_bound
         out = []
         for qi in range(len(queries)):

@@ -388,6 +388,22 @@ class VecStore:
         add(self._dev_proj)
         return total
 
+    def free_search_caches(self) -> None:
+        """Release EVERY derived device mirror (int8/proj scan mirrors, bf16
+        traversal copy, f32 rerank slab), keeping only the canonical rows +
+        dist cache.  All of them rebuild lazily on demand; use before a
+        phase with a big transient working set (e.g. a 1M-row bulk graph
+        build on a shared 16 GB chip, where the ~3.9 GB rerank slab left
+        over from a scan sweep is the difference between fitting and
+        RESOURCE_EXHAUSTED).  No-op on the lean tier (there the slab IS the
+        data)."""
+        if self.tier == "lean":
+            return
+        self._dev_int8 = None
+        self._dev_proj = None
+        self._dev_bf16 = None
+        self._dev_rerank = None
+
     def free_scan_mirrors(self) -> None:
         """Release the derived int8/projection scan mirrors (device HBM).
 

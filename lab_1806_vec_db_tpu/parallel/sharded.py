@@ -131,6 +131,30 @@ def _sharded_knn_2stage(queries, base, base_scan, cache, n_local, k, r, dist, me
     return kernel(queries, base, base_scan, cache, n_local)
 
 
+def _load_checkpoint(path: str, kind: str, mesh: Mesh, external_base):
+    """Shared load prologue: read the npz, check the kind tag, resolve the
+    base rows (inline or external), and re-derive the mesh placement.
+    Sharded checkpoints store the UNSHARDED canonical rows (placement is a
+    property of the mesh, not of the data) so a checkpoint saved on an
+    8-chip mesh loads onto any mesh size."""
+    from ..utils.serde import load_arrays
+
+    arrays, meta = load_arrays(path)
+    if meta.get("kind") != kind:
+        raise ValueError(f"{path} is not a {kind} checkpoint (kind={meta.get('kind')!r})")
+    if "base" in arrays:
+        base = arrays["base"]
+    else:
+        if external_base is None:
+            raise ValueError(f"{path} was saved without vectors; pass external_base")
+        base = np.ascontiguousarray(external_base[: int(meta["n"])], dtype=np.float32)
+    if base.shape != (int(meta["n"]), int(meta["dim"])):
+        raise ValueError(
+            f"base shape {base.shape} != checkpointed ({meta['n']}, {meta['dim']})"
+        )
+    return arrays, meta, base
+
+
 class ShardedFlatIndex:
     """Exact kNN over a vector set sharded across every chip in the mesh."""
 
@@ -142,6 +166,23 @@ class ShardedFlatIndex:
         self.dim = base.shape[1]
         self.base, self.cache, self.n_local, self.shard = shard_base(mesh, base, dist)
         self._scan = None
+
+    # ---- serde (reference shapes: whole-structure and external-vec-set,
+    # index_algorithm/mod.rs:120-148; Flat's topology is just the dist tag,
+    # flat_index.rs:72-83) ----
+    def save(self, path: str, include_vectors: bool = True) -> None:
+        from ..utils.serde import save_arrays
+
+        arrays = {}
+        if include_vectors:
+            arrays["base"] = np.asarray(self.base)[: self.n]
+        save_arrays(path, arrays, dict(kind="sharded_flat", dist=self.dist,
+                                       n=self.n, dim=self.dim))
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh, external_base: np.ndarray | None = None):
+        _, meta, base = _load_checkpoint(path, "sharded_flat", mesh, external_base)
+        return cls(mesh, base, meta["dist"])
 
     def knn_batch(self, queries: np.ndarray, k: int, exact: bool = True):
         """Batched kNN.  exact=True runs the single-pass f32 scan per shard;
@@ -241,6 +282,25 @@ class ShardedPQFlatIndex:
             self.n_local, k, ef, self.dist, self.mesh, self.shard,
         )
         return np.asarray(d), np.asarray(i)
+
+    # ---- serde: the PQ sidecar's own state rides inside the checkpoint ----
+    def save(self, path: str, include_vectors: bool = True) -> None:
+        from ..utils.serde import save_arrays
+
+        pq_arrays, pq_meta = self.pq.state()
+        arrays = dict(pq_arrays)
+        if include_vectors:
+            arrays["base"] = np.asarray(self.base)[: self.n]
+        save_arrays(path, arrays, dict(kind="sharded_pq_flat", dist=self.dist,
+                                       n=self.n, dim=self.dim, **pq_meta))
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh, external_base: np.ndarray | None = None):
+        from ..models.pq_table import PQTable
+
+        arrays, meta, base = _load_checkpoint(path, "sharded_pq_flat", mesh, external_base)
+        pq = PQTable.from_state(arrays, meta)
+        return cls(mesh, base, pq, meta["dist"])
 
 
 @partial(jax.jit, static_argnames=("k", "n_probes", "dist", "mesh", "shard"))
@@ -348,20 +408,73 @@ class ShardedIVFIndex:
             in_shardings=(NamedSharding(mesh, P("data", None)), repl),
             out_shardings=NamedSharding(mesh, P("data")),
         )
-        assign = np.asarray(assign_fn(self.base, self.centroids))
+        self._assign = np.asarray(assign_fn(self.base, self.centroids))[: self.n]
+        self.posting = self._place_postings()
+
+    def _place_postings(self):
+        """Build per-chip posting segments from the host assignment vector
+        and place them with a `P("data", ...)` sharding.  A chip's segment
+        of list l holds exactly the list-l members living on that chip (the
+        row shard is contiguous)."""
+        from ..models.ivf import _build_posting
+
+        n_dev = self.mesh.devices.size
         n_loc_h = np.minimum(
             np.maximum(self.n - self.shard * np.arange(n_dev), 0), self.shard
         ).astype(np.int64)
         postings = []
         for c in range(n_dev):
-            a = assign[c * self.shard : c * self.shard + n_loc_h[c]]
-            p, _ = _build_posting(a, config.k)
+            a = self._assign[c * self.shard : c * self.shard + n_loc_h[c]]
+            p, _ = _build_posting(a, self.config.k)
             postings.append(p)
         lmax = max(max(p.shape[1] for p in postings), 1)
-        post = np.full((n_dev, config.k, lmax), -1, np.int32)
+        post = np.full((n_dev, self.config.k, lmax), -1, np.int32)
         for c, p in enumerate(postings):
             post[c, :, : p.shape[1]] = p
-        self.posting = jax.device_put(post, NamedSharding(mesh, P("data", None, None)))
+        return jax.device_put(post, NamedSharding(self.mesh, P("data", None, None)))
+
+    # ---- serde: centroids + the (n,) assignment vector; posting segments
+    # are a property of the mesh placement and are rebuilt on load, so a
+    # checkpoint re-places onto ANY mesh size ----
+    def save(self, path: str, include_vectors: bool = True) -> None:
+        from ..utils.serde import save_arrays
+
+        arrays = {
+            "centroids": np.asarray(self.centroids),
+            "assign": np.asarray(self._assign, np.int32),
+        }
+        if include_vectors:
+            arrays["base"] = np.asarray(self.base)[: self.n]
+        save_arrays(path, arrays, dict(
+            kind="sharded_ivf", dist=self.dist, n=self.n, dim=self.dim,
+            k=self.config.k, k_means_size=self.config.k_means_size,
+            k_means_max_iter=self.config.k_means_max_iter,
+            k_means_tol=self.config.k_means_tol,
+        ))
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh, external_base: np.ndarray | None = None):
+        from ..models.ivf import DEFAULT_N_PROBES
+        from ..utils.config import IVFConfig
+
+        arrays, meta, base = _load_checkpoint(path, "sharded_ivf", mesh, external_base)
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.dist = meta["dist"]
+        self.config = IVFConfig(
+            k=int(meta["k"]), k_means_size=meta.get("k_means_size"),
+            k_means_max_iter=int(meta["k_means_max_iter"]),
+            k_means_tol=float(meta["k_means_tol"]),
+        )
+        self.n, self.dim = base.shape
+        self.default_n_probes = DEFAULT_N_PROBES
+        self.base, self.cache, self.n_local, self.shard = shard_base(mesh, base, self.dist)
+        self.centroids = jax.device_put(
+            arrays["centroids"], NamedSharding(mesh, P(None, None))
+        )
+        self._assign = arrays["assign"]
+        self.posting = self._place_postings()
+        return self
 
     def knn_batch(self, queries: np.ndarray, k: int, n_probes: int | None = None):
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
@@ -455,7 +568,8 @@ class ShardedHNSWIndex:
     hnsw_index.rs:399-457; shared memory does not survive chip boundaries).
     """
 
-    def __init__(self, mesh: Mesh, base: np.ndarray, dist: str, config, seed: int = 0, progress=None):
+    def __init__(self, mesh: Mesh, base: np.ndarray, dist: str, config, seed: int = 0,
+                 progress=None, parallel: bool = True):
         from ..models.hnsw import HNSWIndex
 
         D.check_dist(dist)
@@ -465,12 +579,29 @@ class ShardedHNSWIndex:
         self.n, self.dim = base.shape
         n_dev = mesh.devices.size
         self.shard = max(-(-self.n // n_dev), 8)
-        subs = []
-        for s in range(n_dev):
+        devices = list(mesh.devices.flat)
+
+        def build_shard(s: int):
             lo = min(s * self.shard, self.n)
             hi = min(lo + self.shard, self.n)
-            sub = HNSWIndex.build(base[lo:hi], dist, config, seed=seed + s, progress=progress)
-            subs.append(sub)
+            # pin each shard's build to its own chip so the N builds overlap
+            # (the multi-chip analog of the reference's rayon add_parallel,
+            # hnsw_index.rs:399-457; round-2 built shards serially on the
+            # default device — an 8-chip mesh built no faster than 1 chip).
+            # Per-shard seeds are fixed, so parallel == serial bit-for-bit.
+            with jax.default_device(devices[s % len(devices)]):
+                return HNSWIndex.build(
+                    base[lo:hi], dist, config, seed=seed + s,
+                    progress=progress if s == 0 else None,
+                )
+
+        if parallel and n_dev > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=n_dev) as ex:
+                subs = list(ex.map(build_shard, range(n_dev)))
+        else:
+            subs = [build_shard(s) for s in range(n_dev)]
         self.default_ef = subs[0].config.default_ef
 
         cap = max(ix.store.capacity for ix in subs)
@@ -530,7 +661,7 @@ class ShardedHNSWIndex:
         """One npz holding the stacked per-shard topology (+ vectors unless
         the base is stored externally — the reference's external-vec-set
         shape, index_algorithm/mod.rs:143-148)."""
-        from ..utils.serde import atomic_write_npz
+        from ..utils.serde import save_arrays
 
         arrays = {
             "links0": np.asarray(self.links0),
@@ -549,7 +680,7 @@ class ShardedHNSWIndex:
             default_ef=self.default_ef,
             ef_construction=self.config.ef_construction, M=self.config.M,
         )
-        atomic_write_npz(path, arrays, meta)
+        save_arrays(path, arrays, meta)
 
     @classmethod
     def load(cls, path: str, mesh: Mesh, external_base: np.ndarray | None = None) -> "ShardedHNSWIndex":
@@ -558,9 +689,9 @@ class ShardedHNSWIndex:
         per-shard); pass `external_base` (the original (n, dim) rows) for
         files saved with include_vectors=False."""
         from ..utils.config import HNSWConfig
-        from ..utils.serde import read_npz
+        from ..utils.serde import load_arrays
 
-        arrays, meta = read_npz(path)
+        arrays, meta = load_arrays(path)
         if meta.get("kind") != "sharded_hnsw":
             raise ValueError(f"{path} is not a sharded HNSW checkpoint")
         n_dev = int(meta["n_dev"])

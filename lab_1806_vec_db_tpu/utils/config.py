@@ -179,6 +179,13 @@ class BenchConfig:
     ef: list[int] = field(default_factory=list)
     pq: PQConfig | None = None
     pq_cache: str | None = None
+    # mesh = N (TOML top-level key): run the sweep data-parallel over the
+    # first N devices — the index is built/loaded as its parallel.sharded
+    # counterpart and every search runs the shard_map kernels with ICI
+    # top-k merges.  0 = single-device (default).  The reference's analog
+    # knob is `-t` rayon multi-threading (examples/bench.rs:414-418); here
+    # the scale axis is chips.
+    mesh: int = 0
 
     @classmethod
     def load_from_toml_file(cls, path: str | Path) -> "BenchConfig":
@@ -209,4 +216,5 @@ class BenchConfig:
             ef=ef,
             pq=pq,
             pq_cache=pq_cache,
+            mesh=int(d.get("mesh", 0)),
         )

@@ -313,3 +313,46 @@ def test_writer_excludes_readers_and_marks_dirty(tmp_path):
     mgr.sync_save(stop_thread=False)  # dirty mark set by write() -> must save
     assert saved
     mgr.close()
+
+
+def test_mesh_opt_in_search(tmp_path, monkeypatch):
+    """VECDB_TPU_MESH=8 routes float32-Flat table searches through the
+    sharded scan mirror (parallel/sharded.py) with identical results, and
+    writes invalidate the mirror (VERDICT r2 item 3: multi-chip reachable
+    from the product surface)."""
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((120, 24)).astype(np.float32)
+    q = vecs[17]
+
+    db = VecDB(str(tmp_path / "mesh_db"))
+    db.create_table_if_not_exists("t", 24, "l2sqr")
+    db.batch_add("t", vecs[:100].tolist(), [{"i": str(i)} for i in range(100)])
+    base = db.search("t", q.tolist(), 5)
+
+    monkeypatch.setenv("VECDB_TPU_MESH", "8")
+    meshed = db.search("t", q.tolist(), 5)
+    assert [m for m, _ in meshed] == [m for m, _ in base]
+    np.testing.assert_allclose(
+        [d for _, d in meshed], [d for _, d in base], rtol=1e-4, atol=1e-5
+    )
+    got = db.batch_search("t", vecs[100:104].tolist(), 3)
+    assert len(got) == 4 and all(len(r) == 3 for r in got)
+
+    # a write invalidates the mirror: the new row must be findable
+    db.add("t", vecs[100].tolist(), {"i": "100"})
+    hit = db.search("t", vecs[100].tolist(), 1)
+    assert hit[0][0] == {"i": "100"} and hit[0][1] < 1e-6
+
+    # delete invalidates too
+    db.delete("t", {"i": "100"})
+    miss = db.search("t", vecs[100].tolist(), 1)
+    assert miss[0][0] != {"i": "100"}
+
+    # uint8 tables and HNSW tables are untouched by the opt-in
+    db.create_table_if_not_exists("u", 24, "l2sqr", "uint8")
+    db.batch_add("u", np.clip(vecs[:50] * 20 + 100, 0, 255).tolist(),
+                 [{"j": str(i)} for i in range(50)])
+    assert len(db.search("u", np.clip(q * 20 + 100, 0, 255).tolist(), 3)) == 3
+    db.build_hnsw_index("t")
+    assert len(db.search("t", q.tolist(), 5, ef=32)) == 5
+    db.close()
