@@ -101,8 +101,24 @@ class FlatIndex:
         f32, matching the reference's f32 scalar scan,
         flat_index.rs:48-57).  `exact=True` (or VECDB_TPU_SCAN=exact) forces
         the single-pass full-f32 scan — used for ground-truth generation.
+
+        Lean-tier stores rerank on the reduced-precision slab; when the
+        store retained its block generator (keep_fill, the default) the
+        final (B, k) distances are refined to exact f32 here, honoring the
+        reference's exact-returned-distance contract.
         """
         d, i = self._knn_device(queries, k, exact)
+        if self.store.tier == "lean":
+            i_h = np.asarray(i)
+            refined = self.store.refine_distances(
+                np.atleast_2d(np.asarray(queries, np.float32)), i_h
+            )
+            if refined is not None:
+                order = np.argsort(refined, axis=1, kind="stable")
+                return (
+                    np.take_along_axis(refined, order, axis=1),
+                    np.take_along_axis(i_h, order, axis=1),
+                )
         return np.asarray(d), np.asarray(i)
 
     def _knn_device(self, queries, k: int, exact: bool | None = None,

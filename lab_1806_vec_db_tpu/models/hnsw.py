@@ -1119,11 +1119,22 @@ class HNSWIndex:
                 links_l, pos_l = ul.device()
                 cur = _greedy_upper_rs(q, base_rs, links_l, pos_l, cur, 256, self.dist)
             bd, bi = _beam0_rs(q, base_rs, links0, cur, ef, iters, expand, ring, self.dist)
-            if self.store.tier == "lean":
-                # lean slab is bf16: selection-grade distances; keep them
-                # (no exacter source exists on device)
-                pass
             d, i = bd[:, :k], bi[:, :k]
+            if self.store.tier == "lean":
+                # lean slab is bf16 (selection-grade).  The reference's
+                # contract is exact returned distances (hnsw_index.rs:
+                # 624-633): refine against regenerated f32 blocks when the
+                # store retained its generator (keep_fill, the default);
+                # else the slab distances stand and the store advertises
+                # `distance_precision` accordingly.
+                i_h = np.asarray(i)
+                refined = self.store.refine_distances(q, i_h)
+                if refined is not None:
+                    order = np.argsort(refined, axis=1, kind="stable")
+                    return (
+                        np.take_along_axis(refined, order, axis=1),
+                        np.take_along_axis(i_h, order, axis=1),
+                    )
             return np.asarray(d), np.asarray(i)
 
         vecs, vcache = self.store.device()

@@ -120,6 +120,21 @@ def _slab_block_jit(vecs, slab, row0, sr, rows):
     return jax.lax.dynamic_update_slice(slab, v, (row0 * sr, 0))
 
 
+@_partial(jax.jit, static_argnames=("dist",))
+def _refine_dist_jit(q, rows, dist):
+    """Exact f32 distances of a gathered (B, k, dim) row block vs (B, dim)
+    queries (the lean tier's final-result refinement)."""
+    q = q.astype(jnp.float32)
+    rows = rows.astype(jnp.float32)
+    if dist == "l2sqr":
+        diff = rows - q[:, None, :]
+        return jnp.sum(diff * diff, axis=-1)
+    dots = jnp.einsum("bd,bkd->bk", q, rows, preferred_element_type=jnp.float32)
+    qn = jnp.sqrt(jnp.sum(q * q, axis=-1))[:, None]
+    rn = jnp.sqrt(jnp.sum(rows * rows, axis=-1))
+    return 1.0 - dots / jnp.maximum(qn * rn, 1e-30)
+
+
 @_partial(jax.jit, static_argnames=("dist", "sr"), donate_argnums=(1, 2, 3, 4))
 def _lean_block_jit(v, q8, scale, cache_ch, slab, inv_rows, row0, dist, sr):
     """Fold one f32 block into the lean-tier mirrors (all donated):
@@ -197,6 +212,12 @@ class VecStore:
         self._dirty_rows: set[int] = set()
         self._dev_full_dirty = True
 
+    # Lean-tier exact-row source: retained block generator (class default
+    # so every construction path — __init__, from_device, from_numpy,
+    # from_device_blocks(keep_fill=False) — reads None without setup).
+    _fill = None
+    _fill_block_rows = 0
+
     @classmethod
     def from_device(cls, vecs: jax.Array, dist: str) -> "VecStore":
         """Ingest an already-device-resident (n, dim) array as the canonical
@@ -263,6 +284,7 @@ class VecStore:
         assign_fn=None,
         perm: "np.ndarray | None" = None,
         cap: int | None = None,
+        keep_fill: bool = True,
     ) -> "VecStore":
         """Memory-LEAN ingest for datasets whose f32 form exceeds device
         HBM: stream `fill(row0, rows) -> (rows, dim) f32 device block`
@@ -361,7 +383,71 @@ class VecStore:
         store._dev_int8 = (q8, scale, cache_ch, jnp.asarray(store._scan_perm))
         store._dev_rerank = slab
         store._int8_ok = (verdict if verdict is not None else True, max(n, 1))
+        if keep_fill:
+            # retain the generator: final-result distances can then be
+            # refined to exact f32 by regenerating only the blocks that
+            # hold candidate rows (exact_rows/refine_distances) — the
+            # reference's exact-returned-distance contract
+            # (hnsw_index.rs:624-633) at ~zero resident HBM cost
+            store._fill = fill
+            store._fill_block_rows = int(block_rows)
         return store
+
+    @property
+    def distance_precision(self) -> str:
+        """Precision of distances computed against this store's best
+        available row source: "f32" when an exact source exists (full tier,
+        or a lean tier with its block generator retained), else the lean
+        slab's dtype name (e.g. "bfloat16") — selection-grade only."""
+        if self.tier != "lean" or self._fill is not None:
+            return "f32"
+        return str(self._dev_rerank.dtype)
+
+    def exact_rows(self, ids: np.ndarray) -> "jax.Array | None":
+        """Exact f32 rows for a small id set, in order.
+
+        Full tier: a device gather.  Lean tier with the block generator
+        retained: regenerate ONLY the blocks containing requested ids and
+        gather from each before discarding it — a (B, k) result set touches
+        at most min(B*k, n/block_rows) blocks, so refinement stays cheap
+        even at multi-million N.  Returns None when no exact source exists
+        (lean + keep_fill=False).  Negative ids yield zero rows (callers
+        mask padding)."""
+        ids_h = np.asarray(ids, np.int64).ravel()
+        if self.tier != "lean":
+            vecs, _ = self.device()
+            return vecs[jnp.asarray(np.maximum(ids_h, 0), np.int32)]
+        if self._fill is None:
+            return None
+        br = self._fill_block_rows
+        out = jnp.zeros((len(ids_h), self.dim), jnp.float32)
+        valid = ids_h >= 0
+        for b in np.unique(ids_h[valid] // br):
+            row0 = int(b) * br
+            rows = min(br, self._n - row0)
+            v = self._fill(row0, rows)
+            sel = np.nonzero(valid & (ids_h >= row0) & (ids_h < row0 + rows))[0]
+            out = out.at[jnp.asarray(sel, np.int32)].set(
+                v[jnp.asarray(ids_h[sel] - row0, np.int32)]
+            )
+            del v
+        return out
+
+    def refine_distances(self, queries, ids: np.ndarray) -> "np.ndarray | None":
+        """Exact f32 distances d(queries[b], row ids[b, j]) for a final
+        (B, k) result set, or None when no exact source exists.  Positions
+        with id < 0 come back +inf."""
+        ids_h = np.asarray(ids)
+        rows = self.exact_rows(ids_h)
+        if rows is None:
+            return None
+        B, k = ids_h.shape
+        q = queries if hasattr(queries, "devices") else jnp.asarray(
+            np.atleast_2d(np.asarray(queries, np.float32))
+        )
+        rows = rows.reshape(B, k, self.dim)
+        d = _refine_dist_jit(q, rows, self.dist)
+        return np.where(ids_h >= 0, np.asarray(d), np.inf)
 
     def device_bytes(self) -> int:
         """Total bytes of this store's live DEVICE arrays (canonical copy,
