@@ -473,7 +473,39 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "data", f"t_bench_{tag}_tpu.toml"
     )
+    # BENCH_SWEEP_BLOCKS selects blocks (comma list of scan,hnsw,pq,ivf;
+    # default all); results MERGE into the existing TOML by label stem so a
+    # partial re-run (e.g. just the PQ block after an OOM) composes with
+    # rows measured earlier instead of clobbering them.
+    blocks = set(
+        os.environ.get("BENCH_SWEEP_BLOCKS", "scan,hnsw,pq,ivf").split(",")
+    )
+
+    def _label_key(label: str) -> str:
+        return label.split(" (")[0]
+
     results: list[dict] = []
+    if os.path.exists(out_path):
+        import tomllib
+
+        with open(out_path, "rb") as f:
+            for r in tomllib.load(f).get("results", []):
+                results.append({
+                    "label": r["label"], "ef": r["ef"], "ms": r["search_time"],
+                    "ms_median": r.get("search_time_median", r["search_time"]),
+                    "recall": r["recall"],
+                    "extra": {kk: vv for kk, vv in r.items()
+                              if kk not in ("label", "ef", "search_time",
+                                            "search_time_median", "recall")},
+                })
+
+    def _merge_row(row: dict) -> None:
+        key = _label_key(row["label"])
+        for idx, r in enumerate(results):
+            if _label_key(r["label"]) == key:
+                results[idx] = row
+                return
+        results.append(row)
 
     def write_toml():
         lines = [
@@ -543,9 +575,11 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
             ms.append(round(b, 4))
             med.append(round(m_, 4))
             log(f"  {label} ef={ef}: {ms[-1]:.4f} ms/q (med {med[-1]:.4f})  recall@{k}={rec[-1]:.4f}")
-        results.append({"label": label, "ef": list(efs), "ms": ms,
-                        "ms_median": med, "recall": rec, "extra": extra or {}})
+        row = {"label": label, "ef": list(efs), "ms": ms,
+               "ms_median": med, "recall": rec, "extra": extra or {}}
+        _merge_row(row)
         write_toml()
+        return row
 
     def sweep_host(label, efs, fn, reps=3, extra=None):
         """Time a host-API step (returns numpy; batch cost >> tunnel RTT)."""
@@ -562,160 +596,170 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
             ms.append(round(min(times) * scale, 4))
             med.append(round(float(np.median(times)) * scale, 4))
             log(f"  {label} ef={ef}: {ms[-1]:.4f} ms/q (med {med[-1]:.4f})  recall@{k}={rec[-1]:.4f}")
-        results.append({"label": label, "ef": list(efs), "ms": ms,
-                        "ms_median": med, "recall": rec, "extra": extra or {}})
+        row = {"label": label, "ef": list(efs), "ms": ms,
+               "ms_median": med, "recall": rec, "extra": extra or {}}
+        _merge_row(row)
         write_toml()
+        return row
 
     summary: dict = {}
 
     # -- exact-grade two-stage scan (the headline path) --
-    log("[1/6] two-stage scan")
-    sweep_device("tpu-exact-scan (int8 stage1 + exact f32 rerank)", [0],
-                 lambda q, ef: flat._knn_device(q, k), reps=8, rounds=5,
-                 extra={"index_device_bytes": flat.index_bytes()})
-    summary["scan_qps"] = round(1000.0 / results[-1]["ms"][0], 1)
-    summary["scan_recall"] = results[-1]["recall"][0]
+    if "scan" in blocks:
+        log("[1/6] two-stage scan")
+        row = sweep_device("tpu-exact-scan (int8 stage1 + exact f32 rerank)", [0],
+                           lambda q, ef: flat._knn_device(q, k), reps=8, rounds=5,
+                           extra={"index_device_bytes": flat.index_bytes()})
+        summary["scan_qps"] = round(1000.0 / row["ms"][0], 1)
+        summary["scan_recall"] = row["recall"][0]
 
     # -- HNSW build (M=16, efc=200) --
     efs = [120, 180, 240, 360]
-    try:
-        log("[2/6] HNSW build (M=16, efc=200)")
-        # drop the scan sweep's mirrors first: the f32 rerank slab + int8
-        # mirror (~4.9 GB at 1M x 960) left resident alongside the build's
-        # own working set OOMed a shared 16 GB chip (round-3 first run);
-        # every mirror rebuilds lazily when the later sweeps need it
-        store.free_search_caches()
-        t0 = time.perf_counter()
-        hnsw = HNSWIndex.build_from_store(
-            store, HNSWConfig(ef_construction=200, M=16), seed=42,
-            progress=progress_bar(n, "hnsw-build"),
-        )
-        build_s = time.perf_counter() - t0
-        log(f"build in {build_s:.1f}s ({n/build_s:.0f} vec/s)")
-        summary["hnsw_build_seconds"] = round(build_s, 1)
-        store.free_scan_mirrors()  # graph sweep needs slab+links, not mirrors
+    hnsw = None
+    if "hnsw" in blocks:
+        try:
+            log("[2/6] HNSW build (M=16, efc=200)")
+            # drop the scan sweep's mirrors first: the f32 rerank slab +
+            # int8 mirror (~4.9 GB at 1M x 960) left resident alongside the
+            # build's own working set OOMed a shared 16 GB chip (round-3
+            # first run); every mirror rebuilds lazily on demand
+            store.free_search_caches()
+            t0 = time.perf_counter()
+            hnsw = HNSWIndex.build_from_store(
+                store, HNSWConfig(ef_construction=200, M=16), seed=42,
+                progress=progress_bar(n, "hnsw-build"),
+            )
+            build_s = time.perf_counter() - t0
+            log(f"build in {build_s:.1f}s ({n/build_s:.0f} vec/s)")
+            summary["hnsw_build_seconds"] = round(build_s, 1)
+            store.free_scan_mirrors()  # graph sweep needs slab+links, not mirrors
 
-        log("[3/6] HNSW graph route (literal beam traversal)")
-        sweep_host(
-            f"tpu-hnsw route=graph M16 efc200 (build {build_s:.0f}s)", efs,
-            lambda ef: hnsw.knn_with_ef_batch(queries, k, ef, route="graph"),
-            extra={"build_seconds": round(build_s, 1),
-                   "index_device_bytes": hnsw.index_bytes()},
-        )
-        g = results[-1]
-        summary["hnsw_graph_ef120_qps"] = round(1000.0 / g["ms"][0], 1)
-        summary["hnsw_graph_ef120_recall"] = g["recall"][0]
-        # free the graph (links + slab stay with the store) before the scan
-        # blocks; the planner's scan route needs none of the topology
-        del hnsw
-    except Exception as e:  # keep later blocks if the build OOMs
-        log(f"HNSW build/graph block failed: {e!r}")
-        build_s = float("nan")
+            log("[3/6] HNSW graph route (literal beam traversal)")
+            row = sweep_host(
+                f"tpu-hnsw route=graph M16 efc200 (build {build_s:.0f}s)", efs,
+                lambda ef: hnsw.knn_with_ef_batch(queries, k, ef, route="graph"),
+                extra={"build_seconds": round(build_s, 1),
+                       "index_device_bytes": hnsw.index_bytes()},
+            )
+            summary["hnsw_graph_ef120_qps"] = round(1000.0 / row["ms"][0], 1)
+            summary["hnsw_graph_ef120_recall"] = row["recall"][0]
+        except Exception as e:  # keep later blocks if the build OOMs
+            log(f"HNSW build/graph block failed: {e!r}")
+            hnsw = None
 
-    log("[4/6] HNSW scan route (production auto plan)")
-    sweep_device(
-        "tpu-hnsw route=scan/auto (ef = stage-1 survivor count)", efs,
-        lambda q, ef: FlatIndex.from_store(store)._knn_device(q, k, rerank_depth=ef),
-        extra={"index_device_bytes": flat.index_bytes()},
-    )
-    s = results[-1]
-    summary["hnsw_ef120_qps"] = round(1000.0 / s["ms"][0], 1)
-    summary["hnsw_ef120_recall"] = s["recall"][0]
-
-    # -- PQ m=320 n_bits=4 (reference flagship quantized config) --
-    log("[5/6] PQ train m=320 n_bits=4 (100k sample = reference 0.1 proportion)")
-    try:
-        t0 = time.perf_counter()
-        # train on the VALID prefix only (ADVICE r2 #1): store.device()[0]
-        # is zero-padded to capacity (~15.8k rows at 1M) — padding rows must
-        # join neither the k-means sample nor the scanned candidate set
-        # (len(pq) == n keeps adc_scan's validity mask honest).
-        pq = PQTable.train(
-            store.device()[0][: len(store)],
-            PQConfig(n_bits=4, m=320, dist="l2sqr", k_means_size=100_000),
-            seed=0,
-        )
-        pq_s = time.perf_counter() - t0
-        log(f"PQ train+encode in {pq_s:.1f}s (ADC self-test {pq.adc_quality})")
-        summary["pq_train_seconds"] = round(pq_s, 1)
-        summary["pq_adc_self_test"] = pq.adc_quality
-
-        def pq_scan_step(q, ef, pq=pq):
-            lookup, q_norms = pq.create_lookup(q)
-            _, cand = pq.adc_scan(lookup, q_norms, max(ef, k))
-            return PG.rerank_topk_rs(q, store.device_rerank(), cand, k, store.dist)
-
-        pq_extra = {"build_seconds": round(pq_s, 1),
-                    "index_device_bytes": flat.index_bytes() + pq.device_bytes(),
-                    "adc_self_test": pq.adc_quality}
-        sweep_device(
-            f"tpu-flat+pq m320 4bit route=scan (ADC scan + exact rerank; train {pq_s:.0f}s)",
-            [180, 360, 600], pq_scan_step, reps=3, rounds=3, extra=pq_extra,
-        )
-        summary["pq_scan_ef180_qps"] = round(1000.0 / results[-1]["ms"][0], 1)
-        summary["pq_scan_ef180_recall"] = results[-1]["recall"][0]
-        sweep_host(
-            "tpu-hnsw+pq m320 4bit route=graph (ADC beam traversal + exact rerank)",
-            [180, 360], lambda ef: hnsw.knn_pq_batch(queries, k, ef, pq, route="graph"),
-            reps=2, extra=pq_extra,
-        )
-        summary["pq_graph_ef180_qps"] = round(1000.0 / results[-1]["ms"][0], 1)
-        summary["pq_graph_ef180_recall"] = results[-1]["recall"][0]
-        sweep_device(
-            "tpu-hnsw+pq route=mirror/auto (planner: resident int8 mirror beats 4-bit ADC)",
-            [180, 360, 600],
+        log("[4/6] HNSW scan route (production auto plan)")
+        row = sweep_device(
+            "tpu-hnsw route=scan/auto (ef = stage-1 survivor count)", efs,
             lambda q, ef: FlatIndex.from_store(store)._knn_device(q, k, rerank_depth=ef),
             extra={"index_device_bytes": flat.index_bytes()},
         )
-        summary["pq_auto_ef180_qps"] = round(1000.0 / results[-1]["ms"][0], 1)
-        summary["pq_auto_ef180_recall"] = results[-1]["recall"][0]
+        summary["hnsw_ef120_qps"] = round(1000.0 / row["ms"][0], 1)
+        summary["hnsw_ef120_recall"] = row["recall"][0]
 
-        # -- PQ m=240 (reference t_bench_pq.toml config) --
-        log("[5b/6] PQ train m=240 n_bits=4")
-        del pq
-        t0 = time.perf_counter()
-        pq240 = PQTable.train(
-            store.device()[0][: len(store)],
-            PQConfig(n_bits=4, m=240, dist="l2sqr", k_means_size=100_000),
-            seed=0,
-        )
-        pq240_s = time.perf_counter() - t0
-        log(f"PQ m=240 train+encode in {pq240_s:.1f}s "
-            f"(ADC self-test {pq240.adc_quality})")
-        sweep_device(
-            f"tpu-flat+pq m240 4bit route=scan (ADC scan + exact rerank; train {pq240_s:.0f}s)",
-            [240, 360, 600],
-            lambda q, ef, pq=pq240: pq_scan_step(q, ef, pq), reps=3, rounds=3,
-            extra={"build_seconds": round(pq240_s, 1),
-                   "index_device_bytes": flat.index_bytes() + pq240.device_bytes(),
-                   "adc_self_test": pq240.adc_quality},
-        )
-        summary["pq240_scan_ef240_qps"] = round(1000.0 / results[-1]["ms"][0], 1)
-        summary["pq240_scan_ef240_recall"] = results[-1]["recall"][0]
-        del pq240
-    except Exception as e:  # keep earlier blocks if PQ OOMs
-        log(f"PQ block failed: {e!r}")
+    # -- PQ m=320 n_bits=4 (reference flagship quantized config) --
+    if "pq" in blocks:
+        log("[5/6] PQ train m=320 n_bits=4 (100k sample = reference 0.1 proportion)")
+        try:
+            # int8 mirror is ~1 GB the PQ blocks never touch (ADC scan +
+            # slab rerank); keep headroom on the shared chip
+            store.free_scan_mirrors()
+            t0 = time.perf_counter()
+            # train on the VALID prefix only (ADVICE r2 #1) via n_valid — a
+            # [:n] slice of the padded device array would materialize a
+            # second 3.85 GB copy (the round-3 PQ-block OOM); padding rows
+            # join neither the k-means sample nor the scanned candidate set
+            # (len(pq) == n keeps adc_scan's validity mask honest).
+            pq = PQTable.train(
+                store.device()[0],
+                PQConfig(n_bits=4, m=320, dist="l2sqr", k_means_size=100_000),
+                seed=0,
+                n_valid=len(store),
+            )
+            pq_s = time.perf_counter() - t0
+            log(f"PQ train+encode in {pq_s:.1f}s (ADC self-test {pq.adc_quality})")
+            summary["pq_train_seconds"] = round(pq_s, 1)
+            summary["pq_adc_self_test"] = pq.adc_quality
+
+            def pq_scan_step(q, ef, pq=pq):
+                lookup, q_norms = pq.create_lookup(q)
+                _, cand = pq.adc_scan(lookup, q_norms, max(ef, k))
+                return PG.rerank_topk_rs(q, store.device_rerank(), cand, k, store.dist)
+
+            pq_extra = {"build_seconds": round(pq_s, 1),
+                        "index_device_bytes": flat.index_bytes() + pq.device_bytes(),
+                        "adc_self_test": pq.adc_quality}
+            row = sweep_device(
+                f"tpu-flat+pq m320 4bit route=scan (ADC scan + exact rerank; train {pq_s:.0f}s)",
+                [180, 360, 600], pq_scan_step, reps=3, rounds=3, extra=pq_extra,
+            )
+            summary["pq_scan_ef180_qps"] = round(1000.0 / row["ms"][0], 1)
+            summary["pq_scan_ef180_recall"] = row["recall"][0]
+            if hnsw is not None:
+                row = sweep_host(
+                    "tpu-hnsw+pq m320 4bit route=graph (ADC beam traversal + exact rerank)",
+                    [180, 360], lambda ef: hnsw.knn_pq_batch(queries, k, ef, pq, route="graph"),
+                    reps=2, extra=pq_extra,
+                )
+                summary["pq_graph_ef180_qps"] = round(1000.0 / row["ms"][0], 1)
+                summary["pq_graph_ef180_recall"] = row["recall"][0]
+            row = sweep_device(
+                "tpu-hnsw+pq route=mirror/auto (planner: resident int8 mirror beats 4-bit ADC)",
+                [180, 360, 600],
+                lambda q, ef: FlatIndex.from_store(store)._knn_device(q, k, rerank_depth=ef),
+                extra={"index_device_bytes": flat.index_bytes()},
+            )
+            summary["pq_auto_ef180_qps"] = round(1000.0 / row["ms"][0], 1)
+            summary["pq_auto_ef180_recall"] = row["recall"][0]
+
+            # -- PQ m=240 (reference t_bench_pq.toml config) --
+            log("[5b/6] PQ train m=240 n_bits=4")
+            del pq
+            t0 = time.perf_counter()
+            pq240 = PQTable.train(
+                store.device()[0],
+                PQConfig(n_bits=4, m=240, dist="l2sqr", k_means_size=100_000),
+                seed=0,
+                n_valid=len(store),
+            )
+            pq240_s = time.perf_counter() - t0
+            log(f"PQ m=240 train+encode in {pq240_s:.1f}s "
+                f"(ADC self-test {pq240.adc_quality})")
+            row = sweep_device(
+                f"tpu-flat+pq m240 4bit route=scan (ADC scan + exact rerank; train {pq240_s:.0f}s)",
+                [240, 360, 600],
+                lambda q, ef, pq=pq240: pq_scan_step(q, ef, pq), reps=3, rounds=3,
+                extra={"build_seconds": round(pq240_s, 1),
+                       "index_device_bytes": flat.index_bytes() + pq240.device_bytes(),
+                       "adc_self_test": pq240.adc_quality},
+            )
+            summary["pq240_scan_ef240_qps"] = round(1000.0 / row["ms"][0], 1)
+            summary["pq240_scan_ef240_recall"] = row["recall"][0]
+            del pq240
+        except Exception as e:  # keep earlier blocks if PQ OOMs
+            log(f"PQ block failed: {e!r}")
 
     # -- binned IVF --
-    log("[6/6] binned IVF (nlist=256)")
-    try:
-        del hnsw
-        t0 = time.perf_counter()
-        ivf = IVFIndex.from_store(store, IVFConfig(k=256, k_means_max_iter=10), seed=0)
-        ivf_s = time.perf_counter() - t0
-        log(f"IVF build in {ivf_s:.1f}s")
-        sweep_device(
-            f"tpu-ivf-binned nlist256 (ef = n_probes; build {ivf_s:.0f}s)",
-            [2, 4, 8], lambda q, ef: ivf._knn_device_binned(q, k, ef), reps=4, rounds=3,
-            extra={"build_seconds": round(ivf_s, 1),
-                   "index_device_bytes": ivf.index_bytes()},
-        )
-        summary["ivf_p4_qps"] = round(1000.0 / results[-1]["ms"][1], 1)
-        summary["ivf_p4_recall"] = results[-1]["recall"][1]
-    except Exception as e:
-        log(f"IVF block failed: {e!r}")
+    if "ivf" in blocks:
+        log("[6/6] binned IVF (nlist=256)")
+        try:
+            hnsw = None  # free the graph before the IVF build
+            t0 = time.perf_counter()
+            ivf = IVFIndex.from_store(store, IVFConfig(k=256, k_means_max_iter=10), seed=0)
+            ivf_s = time.perf_counter() - t0
+            log(f"IVF build in {ivf_s:.1f}s")
+            row = sweep_device(
+                f"tpu-ivf-binned nlist256 (ef = n_probes; build {ivf_s:.0f}s)",
+                [2, 4, 8], lambda q, ef: ivf._knn_device_binned(q, k, ef), reps=4, rounds=3,
+                extra={"build_seconds": round(ivf_s, 1),
+                       "index_device_bytes": ivf.index_bytes()},
+            )
+            summary["ivf_p4_qps"] = round(1000.0 / row["ms"][1], 1)
+            summary["ivf_p4_recall"] = row["recall"][1]
+        except Exception as e:
+            log(f"IVF block failed: {e!r}")
 
-    qps = summary.get("hnsw_ef120_qps", 0.0)
+    qps = (summary.get("hnsw_ef120_qps") or summary.get("scan_qps")
+           or summary.get("pq_scan_ef180_qps") or summary.get("ivf_p4_qps") or 0.0)
     return {
         "metric": "hnsw_route_auto_qps_ef120",
         "value": qps,

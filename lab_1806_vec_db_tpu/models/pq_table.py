@@ -92,6 +92,7 @@ class PQTable:
         vectors: np.ndarray,
         config: PQConfig,
         seed: int = 0,
+        n_valid: int | None = None,
     ) -> "PQTable":
         if config.n_bits not in (4, 8):
             raise ValueError("n_bits must be 4 or 8")
@@ -99,8 +100,16 @@ class PQTable:
         # ingest, models/store.py:from_device): in the device case the
         # training sample is gathered on device and only the (N, m) uint8
         # codes ever cross the host boundary — no base download/re-upload.
+        # `n_valid` restricts training + encoding to the first n_valid rows
+        # WITHOUT slicing (a [:n] slice of a capacity-padded device array
+        # materializes a second multi-GB copy — the round-3 1M PQ OOM);
+        # rows past n_valid are capacity padding, never sampled or encoded.
         on_device = isinstance(vectors, jax.Array) and not isinstance(vectors, np.ndarray)
         n, dim = vectors.shape
+        if n_valid is not None:
+            if not (0 < n_valid <= n):
+                raise ValueError(f"n_valid {n_valid} out of range (0, {n}]")
+            n = n_valid
         if not (1 <= config.m <= dim):
             raise ValueError("m must be in 1..=dim")
         k = 1 << config.n_bits
@@ -112,6 +121,12 @@ class PQTable:
                 jnp.take(vectors, jnp.asarray(np.sort(sel)), axis=0)
                 if on_device
                 else vectors[sel]
+            )
+        elif n < vectors.shape[0]:
+            train_vecs = (
+                jax.lax.slice_in_dim(vectors, 0, n, axis=0)
+                if on_device
+                else vectors[:n]
             )
         else:
             train_vecs = vectors
