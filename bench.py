@@ -390,6 +390,190 @@ def bench_ivf_big(n: int, k: int, n_queries: int, n_probes: int) -> dict:
     }
 
 
+def bench_sweep_big(n: int, k: int, n_queries: int) -> dict:
+    """The >=3M/chip regime (VERDICT r2 item 2): lean-tier sweeps at N x 960
+    written to data/t_bench_<tag>_lean_tpu.toml (merge-by-label, same schema
+    as the 1M sweep).  Two blocks (BENCH_SWEEP_BLOCKS=scan,ivf):
+
+    - scan: permuted-int8-mirror lean store (no sorted copy — that pairing
+      caps at ~2.5M), two-stage scan at several rerank depths.
+    - ivf: ingest-sorted binned IVF (the one-mirror layout that holds ~4M
+      rows/chip), n_probes sweep.
+
+    The graph route is intentionally absent here: its cost is ~flat in N
+    (DMA-issue bound, 0.44 ms/q at 1M ef=120) while the scan's is ~linear
+    (0.020 ms/q at 1M), so the single-chip crossover sits at ~22M rows —
+    past lean-tier HBM capacity (~4-5M/chip).  Past one chip the designed
+    graph-scale path is sharding (parallel/sharded.ShardedHNSWIndex), not
+    a deeper single-chip walk; see DESIGN.md 9b.
+    """
+    import jax
+    import jax.numpy as jnp
+    from lab_1806_vec_db_tpu.models import FlatIndex, IVFIndex
+    from lab_1806_vec_db_tpu.models.store import VecStore
+    from lab_1806_vec_db_tpu.utils.config import IVFConfig
+
+    dim = 960
+    tag = f"{n // 1_000_000}M" if n % 1_000_000 == 0 else str(n)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data",
+        f"t_bench_{tag}_lean_tpu.toml",
+    )
+    blocks = set(os.environ.get("BENCH_SWEEP_BLOCKS", "scan,ivf").split(","))
+
+    def _label_key(label: str) -> str:
+        return label.split(" (")[0]
+
+    results: list[dict] = []
+    if os.path.exists(out_path):
+        import tomllib
+
+        with open(out_path, "rb") as f:
+            for r in tomllib.load(f).get("results", []):
+                results.append({
+                    "label": r["label"], "ef": r["ef"], "ms": r["search_time"],
+                    "ms_median": r.get("search_time_median", r["search_time"]),
+                    "recall": r["recall"],
+                    "extra": {kk: vv for kk, vv in r.items()
+                              if kk not in ("label", "ef", "search_time",
+                                            "search_time_median", "recall")},
+                })
+
+    def write_toml():
+        lines = [
+            f'title = "Gist-spectrum synthetic {tag} x 960, single TPU v5e chip, LEAN tier '
+            '(int8 mirror + bf16 rerank slab, no f32 copy on device), batch=1000; '
+            'search_time = ms/query (best of chained rounds, shared chip; median alongside); '
+            'recall@10 vs exact f32 GT by blocked regeneration; '
+            'scan rows: ef = stage-1 survivor count; ivf rows: ef = n_probes."\n'
+        ]
+        for r in results:
+            lines.append("[[results]]")
+            lines.append(f'label = "{r["label"]}"')
+            lines.append(f'ef = {r["ef"]}')
+            for key, val in r.get("extra", {}).items():
+                lines.append(f"{key} = {val!r}")
+            ms = ",\n".join(f"    {v!r}" for v in r["ms"])
+            md = ",\n".join(f"    {v!r}" for v in r["ms_median"])
+            rc = ",\n".join(f"    {v!r}" for v in r["recall"])
+            lines.append(f"search_time = [\n{ms},\n]")
+            lines.append(f"search_time_median = [\n{md},\n]")
+            lines.append(f"recall = [\n{rc},\n]")
+            lines.append("")
+        with open(out_path, "w") as f:
+            f.write("\n".join(lines))
+
+    def _merge_row(row: dict) -> None:
+        key = _label_key(row["label"])
+        for idx, r in enumerate(results):
+            if _label_key(r["label"]) == key:
+                results[idx] = row
+                return
+        results.append(row)
+
+    fill, queries_fn = make_fill(0, dim)
+    q_dev = jnp.asarray(queries_fn(n_queries))
+    summary: dict = {}
+    gt_ids = None
+
+    def ensure_gt():
+        nonlocal gt_ids
+        if gt_ids is None:
+            log("exact f32 ground truth (blocked regeneration)...")
+            t0 = time.perf_counter()
+            gt_ids = exact_gt_blocked(fill, n, q_dev, k, "l2sqr", 131072)
+            log(f"ground truth in {time.perf_counter()-t0:.1f}s")
+
+    def chained_stats(step, reps=4, rounds=3):
+        times = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            s = jnp.float32(0.0)
+            for _ in range(reps):
+                d_out, _ = step(q_dev + s * 1e-30)
+                s = s + d_out[0, 0] * 1e-30
+            np.asarray(s)
+            times.append((time.perf_counter() - t0) / reps)
+        scale = 1000.0 / n_queries
+        return min(times) * scale, float(np.median(times)) * scale
+
+    def sweep(label, efs, step, extra=None):
+        ms, med, rec = [], [], []
+        for ef in efs:
+            _, ids = step(q_dev, ef)
+            rec.append(round(recall_at_k(gt_ids, np.asarray(ids), k), 4))
+            b, m_ = chained_stats(lambda q, e=ef: step(q, e))
+            ms.append(round(b, 4))
+            med.append(round(m_, 4))
+            log(f"  {label} ef={ef}: {ms[-1]:.4f} ms/q (med {med[-1]:.4f})  recall@{k}={rec[-1]:.4f}")
+        row = {"label": label, "ef": list(efs), "ms": ms,
+               "ms_median": med, "recall": rec, "extra": extra or {}}
+        _merge_row(row)
+        write_toml()
+        return row
+
+    if "scan" in blocks:
+        try:
+            log(f"[1/2] lean scan-layout ingest: N={n} x {dim}")
+            t0 = time.perf_counter()
+            store = VecStore.from_device_blocks(fill, n, dim, "l2sqr")
+            ingest_s = time.perf_counter() - t0
+            log(f"ingest in {ingest_s:.1f}s")
+            ensure_gt()
+            flat = FlatIndex.from_store(store)
+            row = sweep(
+                f"tpu-lean two-stage scan (int8 stage1 + bf16-slab rerank; ingest {ingest_s:.0f}s)",
+                [80, 160, 320],
+                lambda q, ef: flat._knn_device(q, k, rerank_depth=ef),
+                extra={"build_seconds": round(ingest_s, 1),
+                       "index_device_bytes": store.device_bytes()},
+            )
+            summary["scan_ef160_qps"] = round(1000.0 / row["ms"][1], 1)
+            summary["scan_ef160_recall"] = row["recall"][1]
+            del flat, store  # free the scan-layout mirrors before the ivf ingest
+        except Exception as e:
+            log(f"scan block failed: {e!r}")
+
+    if "ivf" in blocks:
+        try:
+            nlist = 256 * max(1, round(n / 1_000_000))
+            log(f"[2/2] lean sorted-layout binned IVF ingest: nlist={nlist}")
+            t0 = time.perf_counter()
+            idx = IVFIndex.from_device_blocks(
+                fill, n, dim, "l2sqr",
+                IVFConfig(k=nlist, k_means_max_iter=10), seed=0, mirror="sorted",
+            )
+            build_s = time.perf_counter() - t0
+            log(f"lean IVF build in {build_s:.1f}s")
+            ensure_gt()
+            row = sweep(
+                f"tpu-lean ivf-binned nlist{nlist} sorted-mirror (ef = n_probes; build {build_s:.0f}s)",
+                [2, 4, 8],
+                lambda q, ef: idx._knn_device_binned(q, k, ef),
+                extra={"build_seconds": round(build_s, 1),
+                       "index_device_bytes": idx.index_bytes()},
+            )
+            summary["ivf_p4_qps"] = round(1000.0 / row["ms"][1], 1)
+            summary["ivf_p4_recall"] = row["recall"][1]
+        except Exception as e:
+            log(f"ivf block failed: {e!r}")
+
+    qps = summary.get("scan_ef160_qps") or summary.get("ivf_p4_qps") or 0.0
+    return {
+        "metric": "lean_big_scan_qps_ef160",
+        "value": qps,
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "recall_at_10": summary.get("scan_ef160_recall"),
+        "n": n,
+        "dim": dim,
+        "batch": n_queries,
+        "baseline": "Gist1M HNSW ef=120 multi-threaded CPU, 6514 QPS @ recall 0.8504 (data/t_bench.toml)",
+        "sweep": summary,
+        "note": f"lean-tier {tag} sweep written to {os.path.basename(out_path)}",
+    }
+
+
 def bench_hnsw(n: int, k: int, n_queries: int, ef: int) -> dict:
     from lab_1806_vec_db_tpu.models import FlatIndex, HNSWIndex
     from lab_1806_vec_db_tpu.utils.config import HNSWConfig
@@ -790,6 +974,9 @@ def main() -> None:
         n = int(os.environ.get("BENCH_N", "2000000"))
         n_probes = int(os.environ.get("BENCH_PROBES", "4"))
         result = bench_ivf_big(n, k, n_queries, n_probes)
+    elif mode == "big":
+        n = int(os.environ.get("BENCH_N", "4000000"))
+        result = bench_sweep_big(n, k, n_queries)
     else:
         n = int(os.environ.get("BENCH_N", "1000000"))
         result = bench_scan(n, k, n_queries)
