@@ -548,7 +548,7 @@ def bench_sweep_big(n: int, k: int, n_queries: int) -> dict:
             ensure_gt()
             row = sweep(
                 f"tpu-lean ivf-binned nlist{nlist} sorted-mirror (ef = n_probes; build {build_s:.0f}s)",
-                [2, 4, 8],
+                [4, 8, 16, 32],
                 lambda q, ef: idx._knn_device_binned(q, k, ef),
                 extra={"build_seconds": round(build_s, 1),
                        "index_device_bytes": idx.index_bytes()},
@@ -842,7 +842,7 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
 
     # -- PQ m=320 n_bits=4 (reference flagship quantized config) --
     if "pq" in blocks:
-        log("[5/6] PQ train m=320 n_bits=4 (100k sample = reference 0.1 proportion)")
+        log("[5/6] PQ train m=320 n_bits=4 (25k sample; see layout note)")
         try:
             # int8 mirror is ~1 GB the PQ blocks never touch (ADC scan +
             # slab rerank); keep headroom on the shared chip
@@ -853,9 +853,15 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
             # second 3.85 GB copy (the round-3 PQ-block OOM); padding rows
             # join neither the k-means sample nor the scanned candidate set
             # (len(pq) == n keeps adc_scan's validity mask honest).
+            # sample 25k (not the reference's 0.1 proportion = 100k): the
+            # vmapped per-group k-means materializes an (m, sample, dsub)
+            # temp whose tiny dsub minor dim lane-pads 42x on TPU — at
+            # m=320/sample=100k that is a 15.26 GB HLO temp (compile-time
+            # OOM).  16 centroids per 3-dim subspace saturate long before
+            # 25k points; measured recall is unchanged.
             pq = PQTable.train(
                 store.device()[0],
-                PQConfig(n_bits=4, m=320, dist="l2sqr", k_means_size=100_000),
+                PQConfig(n_bits=4, m=320, dist="l2sqr", k_means_size=25_000),
                 seed=0,
                 n_valid=len(store),
             )
@@ -901,7 +907,7 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
             t0 = time.perf_counter()
             pq240 = PQTable.train(
                 store.device()[0],
-                PQConfig(n_bits=4, m=240, dist="l2sqr", k_means_size=100_000),
+                PQConfig(n_bits=4, m=240, dist="l2sqr", k_means_size=25_000),
                 seed=0,
                 n_valid=len(store),
             )
@@ -933,7 +939,7 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
             log(f"IVF build in {ivf_s:.1f}s")
             row = sweep_device(
                 f"tpu-ivf-binned nlist256 (ef = n_probes; build {ivf_s:.0f}s)",
-                [2, 4, 8], lambda q, ef: ivf._knn_device_binned(q, k, ef), reps=4, rounds=3,
+                [2, 4, 8, 16, 32], lambda q, ef: ivf._knn_device_binned(q, k, ef), reps=4, rounds=3,
                 extra={"build_seconds": round(ivf_s, 1),
                        "index_device_bytes": ivf.index_bytes()},
             )
