@@ -85,18 +85,43 @@ def kmeans_fit(
     centroids, _, _ = jax.lax.fori_loop(1, k, init_body, (centroids0, weight0, key))
 
     # ---- Lloyd iterations (k_means.rs:114-160) ----
-    def assign(centroids):
-        d = D.pairwise(data, centroids, dist)  # (N_pad, k)
-        return jnp.argmin(d, axis=1)
+    # The update is a BLOCKED one-hot matmul, not a scatter-add: assignment
+    # + accumulation stream the data in row blocks, so the per-iteration
+    # temps are (blk, k) one-hots and (blk, dim) slices.  A scatter-add
+    # formulation (`.at[a].add(masked_data)`) materializes an (N_pad, dim)
+    # masked copy whose layout XLA lane-pads; for PQ's vmapped subspace
+    # k-means (dim = dsub ~ 3) that copy expands 42x — a 15 GB HLO temp at
+    # m=320 x 100k sample (round-3 compile-time OOM).  The matmul form also
+    # avoids materializing the full (N_pad, k) distance matrix.
+    valid_f = jnp.where(valid, 1.0, 0.0)
+    blk = int(min(n_pad, 8192))
+    n_blocks = -(-n_pad // blk)
+    if n_blocks * blk != n_pad:
+        data_b = jnp.pad(data, ((0, n_blocks * blk - n_pad), (0, 0)))
+        valid_b = jnp.pad(valid_f, (0, n_blocks * blk - n_pad))
+    else:
+        data_b, valid_b = data, valid_f
 
     def update(centroids):
-        a = assign(centroids)
-        onehot_w = jnp.where(valid, 1.0, 0.0)
-        counts = jnp.zeros((k,), jnp.float32).at[a].add(onehot_w)
-        sums = (
-            jnp.zeros((k, dim), jnp.float32)
-            .at[a]
-            .add(jnp.where(valid[:, None], data, 0.0))
+        def body(carry, i):
+            counts, sums = carry
+            db = jax.lax.dynamic_slice(data_b, (i * blk, 0), (blk, dim))
+            vb = jax.lax.dynamic_slice(valid_b, (i * blk,), (blk,))
+            d = D.pairwise(db, centroids, dist)  # (blk, k)
+            a = jnp.argmin(d, axis=1)
+            oh = (a[:, None] == jnp.arange(k)[None, :]) * vb[:, None]  # (blk, k)
+            counts = counts + jnp.sum(oh, axis=0)
+            sums = sums + jax.lax.dot_general(
+                oh, db, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return (counts, sums), None
+
+        (counts, sums), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((k,), jnp.float32), jnp.zeros((k, dim), jnp.float32)),
+            jnp.arange(n_blocks, dtype=jnp.int32),
         )
         new_c = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centroids)
         return new_c
