@@ -151,3 +151,59 @@ def test_hnsw_pq_mirror_route_two_stage(gist_1000, monkeypatch):
     _, i_m = index.knn_pq_batch(queries, 10, 300, pq, route="mirror")
     assert seen_r[-1] == 300  # ef reached stage-1 as the survivor count
     assert recall(i_m) >= 0.95  # exact rerank over a 300-wide int8 pool
+
+
+def test_pq_rotate_preserves_distances_and_serde(gist_1000, tmp_path):
+    """rotate=True trains/encodes in a distance-preserving transformed
+    space: ADC distances approximate ORIGINAL-space distances (L2 centering
+    is translation-transparent, the rotation is orthogonal), candidates
+    rerank exactly, and the rotation/center ride the checkpoint."""
+    base = gist_1000[:300, :48].copy()
+    queries = gist_1000[500:508, :48].copy()
+    cfg = PQConfig(n_bits=4, m=16, dist="l2sqr", rotate=True)
+    pq = PQTable.train(base, cfg, seed=3)
+    assert pq.rotation is not None and pq.rotation.shape == (48, 48)
+    # orthogonality (distance preservation)
+    np.testing.assert_allclose(pq.rotation @ pq.rotation.T, np.eye(48), atol=1e-5)
+    assert pq.center is not None  # l2sqr centers on the training mean
+    assert 0.0 <= pq.adc_quality <= 1.0
+
+    flat = FlatIndex.from_numpy(base, "l2sqr")
+    _, gt = flat.knn_batch(queries, 5, exact=True)
+    _, ids = flat.knn_pq_batch(queries, 5, 60, pq)
+    rec = np.mean([len(set(gt[i]) & set(ids[i])) / 5 for i in range(len(queries))])
+    assert rec >= 0.9  # ADC-ordered pool + exact rerank in the rotated space
+
+    p = str(tmp_path / "pq_rot.npz")
+    pq.save(p)
+    pq2 = PQTable.load(p)
+    assert pq2.config.rotate is True
+    np.testing.assert_array_equal(pq2.rotation, pq.rotation)
+    np.testing.assert_array_equal(pq2.center, pq.center)
+    assert pq2.adc_quality == pq.adc_quality
+    _, ids2 = flat.knn_pq_batch(queries, 5, 60, pq2)
+    np.testing.assert_array_equal(ids, ids2)
+
+    # cosine: rotation only (translation is NOT cosine-transparent)
+    pqc = PQTable.train(base, PQConfig(n_bits=4, m=16, dist="cosine", rotate=True), seed=3)
+    assert pqc.center is None and pqc.rotation is not None
+
+
+def test_pq_adc_self_test_warns_when_unreliable(gist_1000):
+    """The build-time ADC ordering self-test gates ADC-ordered routes: a
+    table whose overlap score falls below the threshold warns loudly
+    (VERDICT r2 item 6 — the int8 mirror's discipline applied to PQ)."""
+    import warnings
+
+    base = gist_1000[:200, :32].copy()
+    pq = PQTable.train(base, PQConfig(n_bits=4, m=8, dist="l2sqr"), seed=0)
+    assert pq.adc_quality is not None
+    # force the gate with an impossible threshold: deterministic trigger
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert pq.warn_if_unreliable("unit-test", threshold=1.01) is True
+        assert any("unreliable" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert pq.warn_if_unreliable("unit-test", threshold=0.0) is False
+        assert not w
