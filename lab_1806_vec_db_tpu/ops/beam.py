@@ -138,11 +138,24 @@ def beam_search(
             dup = jnp.zeros_like(valid)
         fresh = valid & ~in_beam & ~in_ring & ~dup
 
-        # raw ids (stale/-1 slots kept): a converged query's tile is all -1,
-        # which lets the DMA-gather distance kernel skip it
-        nd = node_dist_fn(jnp.where(fresh, nbrs, -1))
-        nd = jnp.where(fresh, nd, jnp.inf)
-        nids = jnp.where(fresh, nbrs, -1)
+        # Novel-first compaction (scatter-free, same one-hot trick as the
+        # expansion select): fresh ids move to the FRONT of the tile, stale
+        # slots become a -1 tail.  The DMA-gather distance kernel skips
+        # all-invalid WAVES (pallas_gather._WAVE), so after compaction the
+        # tile's DMA cost tracks the number of NOVEL rows this step —
+        # mid-search tiles are typically majority-stale (dup/beam/ring
+        # hits), and a converged query's tile is all -1 (every wave
+        # skipped).  Order within the tile is irrelevant to the merge.
+        EL = E * L
+        crank = jnp.cumsum(fresh.astype(jnp.int32), axis=1)  # 1-based
+        hit = fresh[:, :, None] & (
+            crank[:, :, None] == (1 + jnp.arange(EL, dtype=jnp.int32))[None, None, :]
+        )  # (B, EL src, EL dst)
+        comp = jnp.max(jnp.where(hit, nbrs[:, :, None], jnp.int32(-1)), axis=1)
+
+        nd = node_dist_fn(comp)
+        nd = jnp.where(comp >= 0, nd, jnp.inf)
+        nids = comp
 
         # Merge into the sorted beam, carrying expansion flags through.
         beam_d, beam_i, expanded2 = _sorted_merge(beam_d, beam_i, exp_new, nd, nids, ef)

@@ -30,6 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 _SEM_BANK = 128  # DMA semaphores per wave (sflag space holds ~500 total)
+# Wave granularity for the PER-WAVE skip: a wave whose ids are ALL invalid
+# is neither issued nor waited on.  Callers that compact valid ids to the
+# FRONT of the tile (ops/beam.py novel-first compaction) turn "fraction of
+# stale slots" directly into skipped trailing waves, so the tile's DMA cost
+# tracks the NOVEL row count instead of r.  32 is fine-grained enough to
+# matter at r=128-256 while the extra byte-counted waits stay ~free (the
+# round-2 measurement: per-copy -> per-128 waits saved 21%, i.e. one wait
+# costs ~0.17% of the kernel — 4-8 waves add < 1%).
+_WAVE = 32
 
 
 def rerank_dim_pad(dim: int) -> int:
@@ -57,7 +66,7 @@ def prepare_rerank_base(base: jax.Array, dtype=jnp.float32) -> jax.Array:
 def _gather_dist_kernel(
     ids_ref,  # SMEM (1, 1, r) int32 — DMA source ids (scalar-readable)
     qn_ref,  # SMEM (1, 1, 1) f32 — |q| for cosine (ignored for l2sqr)
-    act_ref,  # SMEM (1, 1, 1) int32 — 0 iff ALL ids are invalid (skip DMAs)
+    act_ref,  # SMEM (1, 1, n_waves) int32 — per-wave: 0 iff wave all-invalid
     idv_ref,  # VMEM (1, r, 1) int32 — same ids, vector copy for masking
     q_ref,  # VMEM (1, SR, 128) f32 — this query in slab layout
     base_rs,  # ANY (N*SR, 128) f32 — row-slab base, DMA'd manually
@@ -74,51 +83,62 @@ def _gather_dist_kernel(
     # the DMA engines).  Two reductions keep it minimal:
     # - waves share ONE semaphore per bank: DMA completion increments a
     #   semaphore by the copy's byte count, so a single wait on a descriptor
-    #   spanning the wave's total bytes replaces _SEM_BANK per-copy waits
+    #   spanning the wave's total bytes replaces per-copy waits
     #   (halves the scalar work vs the original per-copy wait loop);
     # - two banks pipeline: wave w+1's copies are issued while wave w is
     #   being waited on.
-    # A query whose ids are ALL invalid (act == 0) skips the DMA sequence
-    # entirely: in the lock-step beam search (ops/beam.py) converged
-    # queries feed all -1 tiles every remaining iteration, and on an
-    # issue-bound kernel skipping them cuts cost by the convergence-tail
-    # fraction.  The skip is all-or-nothing per query because the
-    # byte-counted wave wait needs a static byte count — per-slot
-    # conditional issue would deadlock the wait (and a compensating
-    # VMEM self-copy costs the same scalar issue slot it would save).
-    n_waves = (r + _SEM_BANK - 1) // _SEM_BANK
+    # A WAVE whose ids are all invalid (act[w] == 0) skips its issue AND
+    # wait: in the lock-step beam search (ops/beam.py) converged queries
+    # feed all -1 tiles (every wave skipped — the round-2 whole-query
+    # skip), and the novel-first compaction puts each step's fresh ids at
+    # the tile's front so stale slots fall into skippable TRAILING waves.
+    # On an issue-bound kernel the cost then tracks rows actually novel.
+    # The skip stays all-or-nothing per wave because the byte-counted wait
+    # needs a static byte count — per-slot conditional issue would
+    # deadlock the wait (and a compensating VMEM self-copy costs the same
+    # scalar issue slot it would save).
+    n_waves = (r + _WAVE - 1) // _WAVE
 
-    @pl.when(act_ref[0, 0, 0] > 0)
-    def _dma_waves():
-        def start_wave(w, lo, size):
-            def s(j, c):
-                rid = jnp.maximum(ids_ref[0, 0, j], 0)
-                pltpu.make_async_copy(
-                    base_rs.at[pl.ds(rid * sr, sr)],
-                    rows.at[pl.ds(j * sr, sr)],
-                    sems.at[w % 2],
-                ).start()
-                return c
+    def start_wave(w, lo, size):
+        def s(j, c):
+            rid = jnp.maximum(ids_ref[0, 0, j], 0)
+            pltpu.make_async_copy(
+                base_rs.at[pl.ds(rid * sr, sr)],
+                rows.at[pl.ds(j * sr, sr)],
+                sems.at[w % 2],
+            ).start()
+            return c
 
-            # Mosaic fori_loop supports only unroll=1 or full unroll; fully
-            # unrolling the issue loop removes the per-iteration branch cost
-            # from the scalar core's hot path
-            jax.lax.fori_loop(lo, lo + size, s, 0, unroll=size)
+        # Mosaic fori_loop supports only unroll=1 or full unroll; fully
+        # unrolling the issue loop removes the per-iteration branch cost
+        # from the scalar core's hot path
+        jax.lax.fori_loop(lo, lo + size, s, 0, unroll=size)
 
-        def wait_wave(w, lo, size):
-            # wait-by-byte-count: the descriptor only sizes the wait (the
-            # data already moved via the per-row copies above), so src ==
-            # dst == the wave's scratch slice — always in bounds even when
-            # the base has fewer than `size` rows
-            sl = rows.at[pl.ds(lo * sr, size * sr)]
-            pltpu.make_async_copy(sl, sl, sems.at[w % 2]).wait()
+    def wait_wave(w, lo, size):
+        # wait-by-byte-count: the descriptor only sizes the wait (the
+        # data already moved via the per-row copies above), so src ==
+        # dst == the wave's scratch slice — always in bounds even when
+        # the base has fewer than `size` rows
+        sl = rows.at[pl.ds(lo * sr, size * sr)]
+        pltpu.make_async_copy(sl, sl, sems.at[w % 2]).wait()
 
-        sizes = [min(_SEM_BANK, r - w * _SEM_BANK) for w in range(n_waves)]
-        start_wave(0, 0, sizes[0])
-        for w in range(n_waves):  # static unroll (n_waves is tiny)
-            if w + 1 < n_waves:
-                start_wave(w + 1, (w + 1) * _SEM_BANK, sizes[w + 1])
-            wait_wave(w, w * _SEM_BANK, sizes[w])
+    sizes = [min(_WAVE, r - w * _WAVE) for w in range(n_waves)]
+
+    def guarded_start(w):
+        @pl.when(act_ref[0, 0, w] > 0)
+        def _():
+            start_wave(w, w * _WAVE, sizes[w])
+
+    def guarded_wait(w):
+        @pl.when(act_ref[0, 0, w] > 0)
+        def _():
+            wait_wave(w, w * _WAVE, sizes[w])
+
+    guarded_start(0)
+    for w in range(n_waves):  # static unroll (n_waves is tiny)
+        if w + 1 < n_waves:
+            guarded_start(w + 1)
+        guarded_wait(w)
 
     # All intermediates stay >= 2D (Mosaic cannot lay out 1D vectors).
     q = q_ref[:]  # (1, SR, 128) broadcasts over candidates
@@ -168,7 +188,15 @@ def gather_dists_rs(
     q_norms = jnp.sqrt(jnp.sum(q * q, axis=1)).reshape(B, 1, 1)
     q = q.reshape(B, sr, 128)
     ids3 = ids.reshape(B, 1, r)
-    act = jnp.any(ids >= 0, axis=1).astype(jnp.int32).reshape(B, 1, 1)
+    # per-wave activity flags: wave w covers slots [w*_WAVE, (w+1)*_WAVE)
+    n_waves = (r + _WAVE - 1) // _WAVE
+    pad_w = n_waves * _WAVE - r
+    ids_w = jnp.pad(ids, ((0, 0), (0, pad_w)), constant_values=-1) if pad_w else ids
+    act = (
+        jnp.any(ids_w.reshape(B, n_waves, _WAVE) >= 0, axis=2)
+        .astype(jnp.int32)
+        .reshape(B, 1, n_waves)
+    )
     idc = ids.reshape(B, r, 1)
     kernel = functools.partial(_gather_dist_kernel, dist=dist, r=r, sr=sr)
     out = pl.pallas_call(
@@ -177,7 +205,7 @@ def gather_dists_rs(
         in_specs=[
             pl.BlockSpec((1, 1, r), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_waves), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, r, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sr, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
