@@ -29,7 +29,16 @@ from ..utils.candidates import CandidatePair, pairs_from_arrays
 #   "bf16" / "2stage" — bf16 MXU candidate pass + exact f32 rerank.
 #   "exact" — single-pass full-f32 scan everywhere (ground-truth mode).
 _SCAN_MODE = os.environ.get("VECDB_TPU_SCAN", "int8")
-_EXACT_BELOW = 8192  # small sets: exact scan is cheap and compile-stable
+# Below this N the planner uses the single-pass exact f32 scan instead of
+# the two-stage int8 plan.  Two binding constraints at small N: (a) the
+# packed chunk-min kernel keeps at most ONE stage-1 survivor per 128
+# consecutive mirror rows, so the candidate pool caps at n/128 regardless
+# of ef (measured at 10k: recall plateaus at 0.9653 from ef=240 on, 79
+# survivors max — data/t_bench_10000_tpu.toml round-3 regen), and (b) the
+# exact f32 scan at n <= 64k costs ~1-2 ms/kilobatch on the MXU anyway —
+# at or below the two-stage path's own dispatch floor.  64k rows ~ 8k
+# survivor cap keeps the cap comfortably above any sane ef.
+_EXACT_BELOW = 65536
 _RERANK_MULT = int(os.environ.get("VECDB_TPU_RERANK_MULT", "4"))
 # stage-1 candidates per requested neighbor (floor 32): measured at N=1e6
 # dim=960 clustered, r=32..80 all hold recall@10=0.9993 — the packed scan's
