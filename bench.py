@@ -548,7 +548,7 @@ def bench_sweep_big(n: int, k: int, n_queries: int) -> dict:
             ensure_gt()
             row = sweep(
                 f"tpu-lean ivf-binned nlist{nlist} sorted-mirror (ef = n_probes; build {build_s:.0f}s)",
-                [4, 8, 16, 32],
+                [4, 8, 16, 32, 64],
                 lambda q, ef: idx._knn_device_binned(q, k, ef),
                 extra={"build_seconds": round(build_s, 1),
                        "index_device_bytes": idx.index_bytes()},

@@ -34,6 +34,11 @@ from ..utils.candidates import CandidatePair, pairs_from_arrays
 
 DEFAULT_N_PROBES = 4
 _QB = 128  # queries per list bin in the batched binned scan
+# One fused search program while its arguments + the binned kernel's
+# lane-padded (R, 1) channel transients (~1 KB/row) fit HBM; beyond this
+# the exact rerank dispatches as a separate program (measured: the fused
+# program requests 18.6 GB at N=4M x 960 on a 15.75 GB v5e).
+_FUSED_HBM_BUDGET = 13_000_000_000
 _LPAD_MULT = 512  # list rows padded to this (binned kernel grid tile)
 _LCAP_QUANTILE = 0.9  # lists capped at this length quantile (padded); the
 # remainder spills to the always-scanned overflow segment
@@ -92,22 +97,16 @@ from functools import partial as _partial
 import jax as _jax
 
 
-@_partial(
-    _jax.jit,
-    static_argnames=(
-        "nlist", "n_probes", "k", "lpad", "dist", "interpret",
-        "use_pallas_ov", "has_overflow",
-    ),
-)
-def _binned_search_jit(
-    q_dev, centroids, q8s, scale_s, cache_s, perm_pad, base_rs,
+def _binned_candidates_impl(
+    q_dev, centroids, q8s, scale_s, cache_s, perm_pad,
     q8_ov, scale_ov, cache_ov, perm_ov,
     *, nlist, n_probes, k, lpad, dist, interpret, use_pallas_ov, has_overflow,
 ):
-    """The full binned-IVF search pipeline as ONE compiled program: probe
-    selection, on-device query binning, segmented packed scan, per-query
-    regroup + top-r, overflow scan, and the exact DMA rerank (see
-    IVFIndex._knn_device_binned for the algorithm commentary)."""
+    """Candidate stage of the binned-IVF search: probe selection, on-device
+    query binning, segmented packed scan, per-query regroup + top-r, and the
+    overflow scan.  Returns (padded queries, candidate original ids, dropped
+    pair count); the exact DMA rerank runs on top (see the two jit wrappers
+    below and IVFIndex._knn_device_binned for the algorithm commentary)."""
     import jax
     from ..ops import binning as BN
     from ..ops import distance as D
@@ -208,12 +207,70 @@ def _binned_search_jit(
         )
         orig = jnp.concatenate([orig, orig_ov], axis=1)
 
-    d, i = PG.rerank_topk_rs(qp, base_rs, orig, k, dist, interpret=interpret)
     # telemetry: (query, list) pairs dropped by bin overflow (> _QB real
     # queries probing one list).  Only real queries count — the pad rows
     # route to the sentinel list whose bin is discarded anyway.
     n_dropped = jnp.sum(dropped[:B].astype(jnp.int32))
+    return qp, orig, n_dropped
+
+
+@_partial(
+    _jax.jit,
+    static_argnames=(
+        "nlist", "n_probes", "k", "lpad", "dist", "interpret",
+        "use_pallas_ov", "has_overflow",
+    ),
+)
+def _binned_search_jit(
+    q_dev, centroids, q8s, scale_s, cache_s, perm_pad, base_rs,
+    q8_ov, scale_ov, cache_ov, perm_ov,
+    *, nlist, n_probes, k, lpad, dist, interpret, use_pallas_ov, has_overflow,
+):
+    """The whole binned search as ONE compiled program (candidates + exact
+    DMA rerank).  Eagerly dispatched the pipeline was ~30 device ops whose
+    per-op transport overhead cost ~90 ms/batch on tunneled devices; fused
+    it is one dispatch.  Used whenever the combined argument set (sorted
+    mirror + rerank slab + channel broadcasts) fits HBM comfortably."""
+    from ..ops import pallas_gather as PG
+
+    qp, orig, n_dropped = _binned_candidates_impl(
+        q_dev, centroids, q8s, scale_s, cache_s, perm_pad,
+        q8_ov, scale_ov, cache_ov, perm_ov,
+        nlist=nlist, n_probes=n_probes, k=k, lpad=lpad, dist=dist,
+        interpret=interpret, use_pallas_ov=use_pallas_ov,
+        has_overflow=has_overflow,
+    )
+    d, i = PG.rerank_topk_rs(qp, base_rs, orig, k, dist, interpret=interpret)
+    B = q_dev.shape[0]
     return d[:B], i[:B], n_dropped
+
+
+@_partial(
+    _jax.jit,
+    static_argnames=(
+        "nlist", "n_probes", "k", "lpad", "dist", "interpret",
+        "use_pallas_ov", "has_overflow",
+    ),
+)
+def _binned_candidates_jit(
+    q_dev, centroids, q8s, scale_s, cache_s, perm_pad,
+    q8_ov, scale_ov, cache_ov, perm_ov,
+    *, nlist, n_probes, k, lpad, dist, interpret, use_pallas_ov, has_overflow,
+):
+    """Candidate stage alone (no rerank slab in the argument set).  At big
+    N one fused program OOMs HBM: the scan program's arguments (sorted int8
+    mirror) plus the rerank slab plus the kernel's lane-padded per-row
+    channel broadcasts exceed 15.75 GB from roughly N > 3M at dim 960
+    (measured: 18.6 GB requested at N=4M).  Splitting the rerank into its
+    own program keeps each dispatch's argument set disjoint — one extra
+    device call (~3 ms tunnel overhead), traded for 4M+ rows fitting."""
+    return _binned_candidates_impl(
+        q_dev, centroids, q8s, scale_s, cache_s, perm_pad,
+        q8_ov, scale_ov, cache_ov, perm_ov,
+        nlist=nlist, n_probes=n_probes, k=k, lpad=lpad, dist=dist,
+        interpret=interpret, use_pallas_ov=use_pallas_ov,
+        has_overflow=has_overflow,
+    )
 
 
 class IVFIndex:
@@ -532,13 +589,41 @@ class IVFIndex:
             cache_ov = jnp.zeros((0,), jnp.float32)
             perm_ov = jnp.zeros((0,), jnp.int32)
         use_pallas_ov = jax.default_backend() != "cpu" or interpret
-        d, i, n_dropped = _binned_search_jit(
-            q_dev, centroids, q8s, scale_s, cache_s, perm_pad, base_rs,
-            q8_ov, scale_ov, cache_ov, perm_ov,
-            nlist=nlist, n_probes=n_probes, k=k, lpad=lpad, dist=self.dist,
-            interpret=interpret, use_pallas_ov=use_pallas_ov,
-            has_overflow=overflow is not None,
+        # Fused single-program dispatch while the argument set fits HBM;
+        # past ~3M rows the scan mirror + rerank slab + the kernel's
+        # lane-padded channel broadcasts (~1 KB/row transient) overflow a
+        # 16 GB chip, so the rerank runs as its own program (see
+        # _binned_candidates_jit).
+        from ..ops import pallas_scan as PS
+
+        # per-row channel transients: 2 x 512 B padded copies with (R, 1)
+        # operands, ~8 B with blocked channels (PS._BLOCKED_CHANNELS)
+        ch_row = 8 if PS._BLOCKED_CHANNELS else 1024
+        est = (
+            q8s.nbytes + base_rs.nbytes + q8_ov.nbytes
+            + ch_row * (q8s.shape[0] + q8_ov.shape[0])
         )
+        if est <= _FUSED_HBM_BUDGET:
+            d, i, n_dropped = _binned_search_jit(
+                q_dev, centroids, q8s, scale_s, cache_s, perm_pad, base_rs,
+                q8_ov, scale_ov, cache_ov, perm_ov,
+                nlist=nlist, n_probes=n_probes, k=k, lpad=lpad, dist=self.dist,
+                interpret=interpret, use_pallas_ov=use_pallas_ov,
+                has_overflow=overflow is not None,
+            )
+        else:
+            from ..ops import pallas_gather as PG
+
+            qp, orig, n_dropped = _binned_candidates_jit(
+                q_dev, centroids, q8s, scale_s, cache_s, perm_pad,
+                q8_ov, scale_ov, cache_ov, perm_ov,
+                nlist=nlist, n_probes=n_probes, k=k, lpad=lpad, dist=self.dist,
+                interpret=interpret, use_pallas_ov=use_pallas_ov,
+                has_overflow=overflow is not None,
+            )
+            B = q_dev.shape[0]
+            d, i = PG.rerank_topk_rs(qp, base_rs, orig, k, self.dist, interpret=interpret)
+            d, i = d[:B], i[:B]
         self._pending_drop_count = n_dropped  # device scalar; read lazily
         return d, i
 

@@ -25,6 +25,7 @@ storage order de-clusters; ids decode via topk.decode_perm.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -345,6 +346,11 @@ def scan_chunkmin_int8_t(
 
 _BIG = 3.0e38  # finite sentinel: keeps packed bits non-NaN (plain float: jnp consts cannot be captured by kernels)
 
+# Blocked (N/128, 128) channel operands for the packed full scan (see
+# _scan_kernel_int8_packed_bc): zero-padding HBM layout vs the (N, 1)
+# form's 128x lane padding.  Env-gated for A/B measurement.
+_BLOCKED_CHANNELS = os.environ.get("VECDB_TPU_BLOCKED_CHANNELS", "1") == "1"
+
 
 def query_channels(q_scale: jax.Array, q_cache: jax.Array, dist: str):
     """Query-side (qs2, qc) for the unified kernel formula
@@ -455,6 +461,73 @@ def _scan_kernel_int8_packed(
         out_ref[c * SB : (c + 1) * SB, :] = m
 
 
+def _chcol_from_blocked(A: jax.Array) -> jax.Array:
+    """(NB/128, 128) lane-major channel tile -> (NB, 1) column.
+
+    Mosaic cannot shape-cast lanes into sublanes directly (`reshape`
+    (NB/128,128)->(NB,1) is an unsupported relayout), so the column is
+    built arithmetically: replicate each 128-lane row down 128 sublanes,
+    then select lane (row % 128) by mask and lane-reduce.  ~2 VPU passes
+    over (NB, 128) — microseconds against the grid step's MXU work."""
+    R8, L = A.shape
+    NB = R8 * L
+    Arep = jnp.broadcast_to(A[:, None, :], (R8, L, L)).reshape(NB, L)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NB, L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (NB, L), 0)
+    sel = lane == (row & (L - 1))
+    return jnp.sum(jnp.where(sel, Arep, 0.0), axis=1, keepdims=True)
+
+
+def _scan_kernel_int8_packed_bc(
+    qT_ref,  # VMEM (dim, B) int8 — resident across all grid steps
+    qs2_ref,  # VMEM (1, B) f32
+    qc_ref,  # VMEM (1, B) f32
+    scale_ref,  # VMEM (NB/128, 128) f32 — blocked, no lane padding in HBM
+    cache_ref,  # VMEM (NB/128, 128) f32
+    base_ref,  # VMEM (NB, dim) int8 base tile
+    out_ref,  # VMEM (NB/CHUNK, B) int32
+    *,
+    dist: str,
+    cb: int,
+):
+    """`_scan_kernel_int8_packed` with BLOCKED channel operands.
+
+    The (N, 1) f32 channel arrays of the original kernel lane-pad 128x
+    under the TPU's T(8,128) layout — XLA materializes ~512 B/row of
+    padded copies per call (2 x 2.5 GB HBM transients at N=4M; ~1.3 ms of
+    pure padding traffic per 1M rows).  Blocked (N/128, 128) operands have
+    zero padding; the (NB, 1) columns the distance formula needs are
+    rebuilt in-register per grid step (`_chcol_from_blocked`)."""
+    B = qT_ref.shape[1]
+    qs2 = qs2_ref[:]
+    qc = qc_ref[:]
+    NB = base_ref.shape[0]
+    CB = cb
+    SB = CB // _CHUNK
+    scale_col = _chcol_from_blocked(scale_ref[:])
+    cache_col = _chcol_from_blocked(cache_ref[:])
+
+    lvl = jax.lax.broadcasted_iota(jnp.int32, (CB, B), 0) // SB
+    for c in range(NB // CB):
+        scale_c = scale_col[c * CB : (c + 1) * CB, :]
+        cache_c = cache_col[c * CB : (c + 1) * CB, :]
+        dots = jax.lax.dot_general(
+            base_ref[c * CB : (c + 1) * CB, :],
+            qT_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dots_f = dots.astype(jnp.float32)
+        d = (cache_c + qc) - dots_f * (scale_c * qs2)
+        bits = pltpu.bitcast(d, jnp.int32)
+        m = (bits & jnp.int32(~(_CHUNK - 1))) | lvl
+        h = CB // 2
+        while h >= SB:
+            m = jnp.minimum(m[:h, :], m[h : 2 * h, :])
+            h //= 2
+        out_ref[c * SB : (c + 1) * SB, :] = m
+
+
 @functools.partial(jax.jit, static_argnames=("dist", "interpret"))
 def scan_chunkmin_int8_packed(
     q8: jax.Array,  # (B, dim) int8
@@ -491,7 +564,20 @@ def scan_chunkmin_int8_packed(
 
     qs2 = q_scale.astype(jnp.float32)  # caller supplies the full factor
     # (query_channels: 2*s_q for l2sqr, s_q/|q| for cosine)
-    kernel = functools.partial(_scan_kernel_int8_packed, dist=dist, cb=CB)
+    if _BLOCKED_CHANNELS:
+        # blocked channel operands: zero HBM padding (the (N,1) form
+        # lane-pads 128x — ~512 B/row of transient copies per call)
+        kernel = functools.partial(_scan_kernel_int8_packed_bc, dist=dist, cb=CB)
+        ch_spec = pl.BlockSpec(
+            (NB // 128, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        scale_op = base_scale.astype(jnp.float32).reshape(n_pad // 128, 128)
+        cache_op = base_cache.astype(jnp.float32).reshape(n_pad // 128, 128)
+    else:
+        kernel = functools.partial(_scan_kernel_int8_packed, dist=dist, cb=CB)
+        ch_spec = pl.BlockSpec((NB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        scale_op = base_scale.astype(jnp.float32)[:, None]
+        cache_op = base_cache.astype(jnp.float32)[:, None]
     return pl.pallas_call(
         kernel,
         grid=(G,),
@@ -499,8 +585,8 @@ def scan_chunkmin_int8_packed(
             pl.BlockSpec((dim, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ch_spec,
+            ch_spec,
             pl.BlockSpec((NB, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((SB, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -510,8 +596,8 @@ def scan_chunkmin_int8_packed(
         q8.T,
         qs2[None, :],
         q_cache.astype(jnp.float32)[None, :],
-        base_scale.astype(jnp.float32)[:, None],
-        base_cache.astype(jnp.float32)[:, None],
+        scale_op,
+        cache_op,
         base_i8,
     )
 
@@ -576,6 +662,56 @@ def _scan_kernel_int8_binned(
     out_ref[:] = m
 
 
+def _scan_kernel_int8_binned_bc(
+    qbT_ref,  # VMEM (1, dim, QB) int8
+    qs2_ref,  # VMEM (1, 1, QB) f32
+    qc_ref,  # VMEM (1, 1, QB) f32
+    ch_ref,  # VMEM (8, 128) f32 — blocked scale+cache PAIR tile: 1024
+    #         channel values covering TWO 512-row grid steps (see wrapper)
+    ch2_ref,  # VMEM (8, 128) f32 — second channel (cache)
+    base_ref,  # VMEM (NB, dim) int8 sorted base tile
+    out_ref,  # VMEM (SPT, QB) int32
+    *,
+    dist: str,
+):
+    """`_scan_kernel_int8_binned` with BLOCKED channel operands.
+
+    _NB_BIN = 512 values = 4 sublanes of a (x, 128) blocked array — below
+    the (8, 128) Pallas block floor — so each channel block carries 1024
+    values (two grid steps) indexed at g // 2, and the kernel selects the
+    parity half after the in-register column rebuild.  Removes the (R, 1)
+    operands' 128x lane padding (~1 KB/row of HBM transients per call —
+    2 x 2.5 GB at N=4M, the allocation that OOMed the fused binned search)."""
+    NB = base_ref.shape[0]
+    QB = qbT_ref.shape[2]
+    qs2 = qs2_ref[0]
+    qc = qc_ref[0]
+    parity = jax.lax.rem(pl.program_id(0), 2)
+
+    def half(col):  # (1024, 1) -> this grid step's (512, 1)
+        return jnp.where(parity == 0, col[:NB, :], col[NB:, :])
+
+    scale_col = half(_chcol_from_blocked(ch_ref[:]))
+    cache_col = half(_chcol_from_blocked(ch2_ref[:]))
+
+    dots = jax.lax.dot_general(
+        base_ref[:],
+        qbT_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dots_f = dots.astype(jnp.float32)
+    d = (cache_col + qc) - dots_f * (scale_col * qs2)
+    lvl = jax.lax.broadcasted_iota(jnp.int32, (NB, QB), 0) // _SPT
+    bits = pltpu.bitcast(d, jnp.int32)
+    m = (bits & jnp.int32(~(_GS - 1))) | lvl
+    h = NB // 2
+    while h >= _SPT:
+        m = jnp.minimum(m[:h, :], m[h : 2 * h, :])
+        h //= 2
+    out_ref[:] = m
+
+
 @functools.partial(jax.jit, static_argnames=("dist", "interpret", "lpad"))
 def scan_chunkmin_int8_binned(
     qbT: jax.Array,  # (nlist, dim, QB) int8 — per-list binned queries
@@ -615,7 +751,26 @@ def scan_chunkmin_int8_binned(
     G = nlist * gpl
     SB = _SPT
 
-    kernel = functools.partial(_scan_kernel_int8_binned, dist=dist)
+    scanned = nlist * lpad  # rows the grid actually reads
+    if _BLOCKED_CHANNELS:
+        # blocked channels (see _scan_kernel_int8_binned_bc): (R, 1)
+        # operands lane-pad 128x in HBM; blocked (Rp/128, 128) pads zero.
+        # Each (8, 128) block holds 1024 values = two 512-row grid steps.
+        rp = ((scanned + 1023) // 1024) * 1024
+        sc = base_scale.astype(jnp.float32)[:scanned]
+        ca = base_cache.astype(jnp.float32)[:scanned]
+        if rp != scanned:
+            sc = jnp.pad(sc, (0, rp - scanned))
+            ca = jnp.pad(ca, (0, rp - scanned), constant_values=_BIG)
+        kernel = functools.partial(_scan_kernel_int8_binned_bc, dist=dist)
+        ch_spec = pl.BlockSpec((8, 128), lambda g: (g // 2, 0), memory_space=pltpu.VMEM)
+        scale_op = sc.reshape(rp // 128, 128)
+        cache_op = ca.reshape(rp // 128, 128)
+    else:
+        kernel = functools.partial(_scan_kernel_int8_binned, dist=dist)
+        ch_spec = pl.BlockSpec((_NB_BIN, 1), lambda g: (g, 0), memory_space=pltpu.VMEM)
+        scale_op = base_scale.astype(jnp.float32)[:, None]
+        cache_op = base_cache.astype(jnp.float32)[:, None]
     return pl.pallas_call(
         kernel,
         grid=(G,),
@@ -623,8 +778,8 @@ def scan_chunkmin_int8_binned(
             pl.BlockSpec((1, dim, QB), lambda g: (g // gpl, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, QB), lambda g: (g // gpl, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, QB), lambda g: (g // gpl, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_NB_BIN, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_NB_BIN, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            ch_spec,
+            ch_spec,
             pl.BlockSpec((_NB_BIN, dim), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((SB, QB), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -634,8 +789,8 @@ def scan_chunkmin_int8_binned(
         qbT,
         qs2_b.astype(jnp.float32),
         qc_b.astype(jnp.float32),
-        base_scale.astype(jnp.float32)[:, None],
-        base_cache.astype(jnp.float32)[:, None],
+        scale_op,
+        cache_op,
         base_i8,
     )
 
