@@ -27,12 +27,19 @@ hnsw_index.rs:672-697).
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# Merge engine for the per-iteration beam update: the Pallas bitonic-merge
+# kernel (ops/pallas_merge.py) halves the whole lock-step iteration vs the
+# lax.top_k formulation (5.54 -> 2.69 ms/iter at B=1000/ef=120/E=4 on v5e)
+# with bit-identical beam contents.  CPU (tests/oracle) keeps top_k.
+_PALLAS_MERGE = os.environ.get("VECDB_TPU_PALLAS_MERGE", "1") == "1"
 # node_dist_fn: (B, C) int32 ids -> (B, C) f32 distances.  Ids may be -1
 # (invalid): the fn may return ANY value there (callers mask), but must not
 # fault — and the Pallas DMA-gather implementation uses an all-invalid row
@@ -54,6 +61,10 @@ def _sorted_merge(beam_d, beam_i, beam_e, nd, nids, ef: int):
     inverse-permutation) avoided the sort but measured ~25% SLOWER on the
     v5e than one fused top_k over ef+EL lanes.
     """
+    if _PALLAS_MERGE and jax.default_backend() == "tpu":
+        from . import pallas_merge as PM
+
+        return PM.merge_sorted(beam_d, beam_i, beam_e, nd, nids)
     all_d = jnp.concatenate([beam_d, nd], axis=1)
     all_i = jnp.concatenate([beam_i, nids], axis=1)
     all_e = jnp.concatenate([beam_e, jnp.zeros_like(nd, dtype=bool)], axis=1)
