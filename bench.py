@@ -802,19 +802,41 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
     hnsw = None
     if "hnsw" in blocks:
         try:
-            log("[2/6] HNSW build (M=16, efc=200)")
-            # drop the scan sweep's mirrors first: the f32 rerank slab +
-            # int8 mirror (~4.9 GB at 1M x 960) left resident alongside the
-            # build's own working set OOMed a shared 16 GB chip (round-3
-            # first run); every mirror rebuilds lazily on demand
+            # BENCH_HNSW_CACHE=path: save/load the graph TOPOLOGY (vectors
+            # stay device-born) so kernel-iteration reruns skip the ~18-min
+            # 1M build.  The original build time rides in the npz meta and
+            # is reported unchanged — cached reruns re-measure SEARCH, not
+            # build.  The dataset is deterministic (same seed), so the
+            # topology pairs with the regenerated store exactly.
+            cache = os.environ.get("BENCH_HNSW_CACHE", "")
             store.free_search_caches()
-            t0 = time.perf_counter()
-            hnsw = HNSWIndex.build_from_store(
-                store, HNSWConfig(ef_construction=200, M=16), seed=42,
-                progress=progress_bar(n, "hnsw-build"),
-            )
-            build_s = time.perf_counter() - t0
-            log(f"build in {build_s:.1f}s ({n/build_s:.0f} vec/s)")
+            if cache and os.path.exists(cache):
+                from lab_1806_vec_db_tpu.utils import serde as _serde
+
+                log(f"[2/6] HNSW topology from cache {cache}")
+                arrays, hmeta = _serde.load_arrays(cache)
+                hnsw = HNSWIndex.from_state(arrays, hmeta, external_store=store)
+                build_s = float(hmeta.get("build_seconds", 0.0))
+            else:
+                log("[2/6] HNSW build (M=16, efc=200)")
+                # drop the scan sweep's mirrors first: the f32 rerank slab +
+                # int8 mirror (~4.9 GB at 1M x 960) left resident alongside
+                # the build's own working set OOMed a shared 16 GB chip
+                # (round-3 first run); every mirror rebuilds lazily on demand
+                t0 = time.perf_counter()
+                hnsw = HNSWIndex.build_from_store(
+                    store, HNSWConfig(ef_construction=200, M=16), seed=42,
+                    progress=progress_bar(n, "hnsw-build"),
+                )
+                build_s = time.perf_counter() - t0
+                log(f"build in {build_s:.1f}s ({n/build_s:.0f} vec/s)")
+                if cache:
+                    arrays, hmeta = hnsw.state(include_vectors=False)
+                    hmeta["build_seconds"] = round(build_s, 1)
+                    from lab_1806_vec_db_tpu.utils import serde as _serde
+
+                    _serde.save_arrays(cache, arrays, hmeta)
+                    log(f"topology cached to {cache}")
             summary["hnsw_build_seconds"] = round(build_s, 1)
             store.free_scan_mirrors()  # graph sweep needs slab+links, not mirrors
 

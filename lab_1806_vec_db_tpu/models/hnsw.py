@@ -1059,7 +1059,8 @@ class HNSWIndex:
         one lock-step beam search with ef.max(k) over the DMA-gather row
         slab.  Faithful to the reference algorithm, but batched graph
         walking is DMA-issue-rate-bound on TPU (each frontier row is an
-        independent ~2-4 KB HBM fetch), so at N=1e6 it runs ~500 QPS.
+        independent ~2-4 KB HBM fetch issued from the single scalar core),
+        so at N=1e6 it runs ~3.8k QPS batched (DESIGN.md 9c).
 
         route="scan": the TPU-native plan — int8 MXU chunk-min scan keeping
         the best `ef` stage-1 survivors, then exact f32 DMA rerank.  `ef`
