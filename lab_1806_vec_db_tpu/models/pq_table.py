@@ -54,6 +54,8 @@ class PQTable:
         self._dev_cb_sqnorm: jax.Array | None = None
         self._dev_rotation: jax.Array | None = None
         self._dev_center: jax.Array | None = None
+        self._dev_codes_scan: jax.Array | None = None  # permuted scan view
+        self._dev_perm: jax.Array | None = None
 
     # ---- distance-preserving input transform (config.rotate) ----
     @staticmethod
@@ -245,6 +247,7 @@ class PQTable:
         for a in (
             self._dev_codes, self._dev_codebooks, self._dev_cb_sqnorm,
             self._dev_rotation, self._dev_center,
+            self._dev_codes_scan, self._dev_perm,
         ):
             if a is not None:
                 total += int(a.nbytes)
@@ -312,18 +315,43 @@ class PQTable:
             q_norms = jnp.zeros(q.shape[0], jnp.float32)
         return lookup, q_norms
 
+    def device_scan(self):
+        """Permuted device codes for the fused chunk-min scan kernel.
+
+        The chunk-min reduction keeps one survivor per 32 consecutive rows
+        (ops/pallas_adc.py:adc_scan_chunkmin), so scan codes are stored
+        under a fixed seeded permutation to de-cluster storage order — the
+        same discipline as the int8 scan mirror (models/store.py).  Lazy:
+        only materialized when the scan route runs (the traversal view
+        `device()` keeps canonical order for id-gathers)."""
+        if self._dev_codes_scan is None:
+            codes, _, _ = self.device()
+            n = codes.shape[0]
+            perm = np.random.default_rng(0xC0DE5).permutation(n).astype(np.int32)
+            self._dev_perm = jnp.asarray(perm)
+            self._dev_codes_scan = jnp.take(codes, self._dev_perm, axis=0)
+        return self._dev_codes_scan, self._dev_perm
+
     def adc_scan(self, lookup, q_norms, k_out: int):
         """Full ADC scan over the encoded set -> (B, k_out) dists/ids.
 
-        On TPU this is the Pallas one-hot-matmul kernel (ops/pallas_adc.py:
-        bf16 MXU contraction, in-register nibble unpack for 4-bit codes);
-        the XLA gather formulation remains the CPU/test path.
+        On TPU this is the fused Pallas chunk-min kernel (ops/pallas_adc.py:
+        int8 one-hot MXU contraction + in-kernel partial top-k, in-register
+        nibble unpack for 4-bit codes); small sets and k=256 tables use the
+        dense kernel; the XLA gather formulation remains the CPU/test path.
         """
         codes, _, cb_sq = self.device()
         n = len(self)
         if jax.default_backend() != "cpu":
             from ..ops import pallas_adc as PA
 
+            n_chunks = -(-n // PA._CHUNK)
+            if self.k <= 16 and n_chunks >= 4 * k_out:
+                codes_s, perm = self.device_scan()
+                return PA.adc_scan_chunkmin(
+                    lookup, codes_s, perm, jnp.int32(n), cb_sq, q_norms,
+                    k_out, self.config.dist, packed=self.packed,
+                )
             return PA.adc_scan_pallas(
                 lookup, codes, jnp.int32(n), cb_sq, q_norms, k_out,
                 self.config.dist, packed=self.packed,

@@ -2,29 +2,62 @@
 
 The XLA formulation of the ADC scan (`ops/pq.py:adc_scan`) gathers LUT
 entries by code (`take_along_axis`), which lowers to scalar-unit gathers on
-TPU.  This kernel reformulates the lookup as **one-hot MXU matmuls**: for a
-chunk of G groups, codes expand to a (N_t, G*k) one-hot tile (a VPU compare
-against a broadcasted iota) and the partial-distance sum over those groups
-is one (N_t, G*k) x (G*k, B_t) matmul — the gather becomes a 128-wide
-contraction on the systolic array, and the uint8 codes are the only HBM
-traffic per base row.
+TPU.  This kernel reformulates the lookup as a **one-hot MXU contraction**:
+codes expand to a (NT, W = m*k) one-hot tile and the partial-distance sum
+is ONE (NT, W) x (W, BT) matmul against a contraction-major LUT whose
+column b holds query b's m*k partial distances.
+
+Round-4 redesign (24x the round-3 kernel).  The round-3 kernel tiled
+queries at BT=128 and rebuilt the one-hot per (query-tile, step) in 40
+narrow (NT,128)x(128,128) dots — measured 3.7% MXU.  Measured on-chip
+(v5e, N=131072, m=320, k=16, B=1000, tmp/bench_adc_micro2.py):
+
+  round-3 kernel                 183.5 ms   3.7% bf16-MXU peak
+  v2 bf16: one-hot once/base-tile,
+    queries resident (BT=1024),
+    single (256,5120)x(5120,1024)  11.4 ms  61% peak
+  v2 int8: one-hot as int8, LUT
+    per-query int8-quantized        7.6 ms  92% bf16 peak (46% int8)
+
+Design rules that matter:
+- the whole query batch rides one dot (BT=r_pad<=1024): the one-hot is
+  built ONCE per base tile instead of once per (base, query) tile pair;
+- `code_of_lane` is a precomputed (8, W) int32 input row, not an in-kernel
+  `iota // m` (integer div by a non-power-of-2);
+- the int8 one-hot must be built with `.astype(jnp.int8)` — the
+  `jnp.where(mask, int8(1), int8(0))` form trips a Mosaic i1-relayout
+  bug ("Invalid relayout ... vector<...xi1>");
+- no VMEM scratch: letting Mosaic register-allocate the one-hot value beat
+  an explicit scratch round-trip by ~8%.
+
+Arithmetic floor: a LUT lookup via matmul costs k MACs (the one-hot row),
+so a full scan is N*B*m*k MACs — 5.2e12 at Gist1M flagship shape = 53 ms
+at v5e bf16 peak, 27 ms at int8 peak.  A VPU select-tree lookup would cost
+~15 VPU-ops per lookup = N*B*m*15 element-ops ~ 80x slower than the MXU
+route at these shapes; one-hot-on-MXU is the right compute shape, the
+round-3 problem was utilization (BT=128 + per-step one-hot rebuild), not
+the idea.
+
+int8 LUT quantization (the default stage-1 path, `lut_dtype="int8"`) is
+per query row: s_b = max|lut_b|/127, entry error <= s_b/2, summed error
+std ~ s_b*sqrt(m/12) ~ 0.8% of the max partial distance — far below ADC's
+own quantization error; every caller exact-reranks the returned candidate
+ordering.  `exact=True` (tests) runs f32 operands end-to-end.
 
 4-bit codes stay **nibble-packed in HBM** (two codes per byte, low nibble
 first — the reference's in-memory layout, pq_table.rs:66-91) and are
-unpacked in-register inside the kernel: half the code memory AND half the
-scan's HBM traffic for the n_bits=4 flagship configs.
-
-The one-hot operand is exactly representable in bf16 and the LUT is cast to
-bf16, so the matmul runs at the MXU's bf16 rate with f32 accumulation;
-partial-distance rounding (~0.4% relative per entry, averaged over m) is
-far below ADC quantization error, and callers exact-rerank anyway.
+unpacked in-register: half the code memory AND half the scan's HBM traffic
+for the n_bits=4 flagship configs.
 
 For Cosine the per-code centroid squared-norm sum rides the same matmul as
-one extra LUT row.
+one extra LUT row (its own column, its own int8 scale).
 
 Reference behavior being accelerated: the ADC accumulation loop at
 src/distance/pq_table.rs:252-299 (L2Sqr sum of partial distances; Cosine
 norm reconstruction 1 - sum / (sqrt(c_sq) * |q|), pq_table.rs:291-299).
+
+n_bits=8 (k=256) tables keep the round-3 step-wise kernel: their one-hot
+width m*256 makes the resident-LUT layout exceed VMEM.
 """
 
 from __future__ import annotations
@@ -38,12 +71,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# tile sizes: lane dim fixed at 128 = G * k for k=16 -> G=8 groups per step
-_NT = 512  # base rows per tile
-_BT = 128  # queries per tile (min f32 sublane alignment handled by padding)
+_NT = 256  # base rows per tile (v2 kernel)
+_BT_MAX = 1024  # queries resident per kernel call
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+# ---- legacy step-wise kernel (kept for k=256 / n_bits=8 tables) ----
+_NT_LEG = 512
+_BT_LEG = 128
 
 
-def _adc_kernel(
+def _adc_kernel_stepwise(
     codes_ref, lut_ref, out_ref, *, m_pad: int, k: int, n_groups_step: int,
     packed: bool, exact: bool,
 ):
@@ -51,37 +88,26 @@ def _adc_kernel(
     when `packed` (4-bit, low nibble first); lut_ref: (BT, m_pad*k) bf16;
     out_ref: (NT, BT) f32 accumulated sums."""
     NT = codes_ref.shape[0]
-    BT = lut_ref.shape[0]
     G = n_groups_step
-    W = G * k  # 128 lanes per step
+    W = G * k
     steps = m_pad // G
 
     codes = codes_ref[:]
     lut = lut_ref[:]
-    acc = jnp.zeros((NT, BT), jnp.float32)
-    # static unroll: every slice is compile-time, W-aligned on the LUT side
+    acc = jnp.zeros((NT, lut_ref.shape[0]), jnp.float32)
     for s in range(steps):
         g0 = s * G
         if packed:
-            # two 4-bit codes per byte: unpack G groups from G//2 bytes.
-            # NO interleave (Mosaic rejects the (NT, G/2, 2)->(NT, G) shape
-            # cast) — lo/hi nibbles are lane-CONCATENATED [evens | odds] and
-            # the LUT group columns were permuted to match (see adc_sums).
-            bytes_g = codes[:, g0 // 2 : (g0 + G) // 2]  # (NT, G//2)
+            bytes_g = codes[:, g0 // 2 : (g0 + G) // 2]
             lo = bytes_g & 0xF
             hi = (bytes_g >> 4) & 0xF
-            codes_g = jnp.concatenate([lo, hi], axis=1)  # (NT, G)
+            codes_g = jnp.concatenate([lo, hi], axis=1)
         else:
-            codes_g = codes[:, g0 : g0 + G]  # (NT, G)
-        # One-hot over the k codewords of each group in CODE-MAJOR lane
-        # order: lane w <-> (code w // G, group-position w % G).  Built with
-        # pltpu.repeat (a native lane tiling) because the group-major
-        # (NT, G, k) -> (NT, W) reshape is a Mosaic-unsupported shape cast;
-        # the LUT lanes were pre-transposed to the same order in adc_sums.
-        codes_rep = pltpu.repeat(codes_g, k, axis=1)  # (NT, W) = [g0..gG-1]*k
+            codes_g = codes[:, g0 : g0 + G]
+        codes_rep = pltpu.repeat(codes_g, k, axis=1)
         code_of_lane = jax.lax.broadcasted_iota(jnp.int32, (NT, W), 1) // G
         oh = (codes_rep == code_of_lane).astype(jnp.float32 if exact else jnp.bfloat16)
-        lut_g = lut[:, g0 * k : g0 * k + W]  # (BT, W)
+        lut_g = lut[:, g0 * k : g0 * k + W]
         if exact:
             lut_g = lut_g.astype(jnp.float32)
         acc = acc + jax.lax.dot_general(
@@ -90,28 +116,13 @@ def _adc_kernel(
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("packed", "exact", "interpret"))
-def adc_sums(
-    codes: jax.Array,
-    lut_rows: jax.Array,
-    packed: bool = False,
-    exact: bool = False,
-    interpret: bool = False,
-) -> jax.Array:
-    """Compute per-(base,query-row) ADC sums.
-
-    codes: (N, m) uint8/int32 codes, or (N, ceil(m/2)) packed nibble bytes
-      when `packed` — padded to tiles internally.
-    lut_rows: (R, m, k) f32 lookup rows (queries, plus optionally one extra
-      row of centroid squared norms for Cosine).
-    Returns (N, R) f32 sums: sum_i lut_rows[r, i, codes[n, i]].
-    """
+def _adc_sums_stepwise(codes, lut_rows, packed, exact, interpret):
     N = codes.shape[0]
     R, m, k = lut_rows.shape
     G = max(128 // k, 1)
     m_pad = ((m + G - 1) // G) * G
-    n_pad = ((N + _NT - 1) // _NT) * _NT
-    r_pad = ((R + _BT - 1) // _BT) * _BT
+    n_pad = ((N + _NT_LEG - 1) // _NT_LEG) * _NT_LEG
+    r_pad = ((R + _BT_LEG - 1) // _BT_LEG) * _BT_LEG
 
     if packed:
         assert G % 2 == 0, "packed layout needs an even group step"
@@ -121,15 +132,10 @@ def adc_sums(
         assert codes.shape[1] == m
         codes_p = jnp.zeros((n_pad, m_pad), jnp.int32)
         codes_p = codes_p.at[:N, :m].set(codes.astype(jnp.int32))
-    # padded groups point at code 0 of a zero LUT column -> contribute 0
     lut_dtype = jnp.float32 if exact else jnp.bfloat16
     lut_full = jnp.zeros((r_pad, m_pad, k), lut_dtype)
     lut_full = lut_full.at[:R, :m].set(lut_rows.astype(lut_dtype))
     if packed:
-        # match the kernel's concat-unpack group order: within each step of
-        # G groups, all even-offset groups (lo nibbles) then all odd-offset
-        # ones (hi nibbles) — a static lane permutation applied once here
-        # instead of an unsupported in-register interleave per tile.
         perm = np.concatenate(
             [
                 np.concatenate([np.arange(g0, g0 + G, 2), np.arange(g0 + 1, g0 + G, 2)])
@@ -137,8 +143,6 @@ def adc_sums(
             ]
         )
         lut_full = lut_full[:, perm, :]
-    # code-major lane order per step (see the kernel's pltpu.repeat one-hot):
-    # step lane w holds (code w // G, group-position w % G)
     steps = m_pad // G
     lut_p = (
         lut_full.reshape(r_pad, steps, G, k)
@@ -147,25 +151,345 @@ def adc_sums(
     )
 
     kernel = functools.partial(
-        _adc_kernel, m_pad=m_pad, k=k, n_groups_step=G, packed=packed, exact=exact
+        _adc_kernel_stepwise, m_pad=m_pad, k=k, n_groups_step=G,
+        packed=packed, exact=exact,
     )
     cw = codes_p.shape[1]
-    # grid order: query tiles OUTER, base tiles inner — the big LUT tile
-    # (m_pad*k lanes) then loads once per query tile instead of once per
-    # (query, base) pair (the codes re-reads it trades for are G*k/8 ~ 16x
-    # smaller, and half that again when packed)
     out = pl.pallas_call(
         kernel,
-        grid=(r_pad // _BT, n_pad // _NT),
+        grid=(r_pad // _BT_LEG, n_pad // _NT_LEG),
         in_specs=[
-            pl.BlockSpec((_NT, cw), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BT, m_pad * k), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NT_LEG, cw), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_BT_LEG, m_pad * k), lambda j, i: (j, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((_NT, _BT), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (_NT_LEG, _BT_LEG), lambda j, i: (i, j), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((n_pad, r_pad), jnp.float32),
         interpret=interpret,
     )(codes_p, lut_p)
     return out[:N, :R]
+
+
+# ---- v2 kernel (k <= 16): one-hot once per base tile, queries resident ----
+
+
+def _adc_kernel_v2(codes_ref, col_ref, lut_ref, out_ref, *, k: int, packed: bool,
+                   oh_dtype):
+    """codes_ref: (NT, cw) int32 — packed nibble bytes (cw = m_eff//2) or
+    unpacked codes (cw = m_eff); col_ref: (8, W) int32, row = lane's code id
+    (w // m_eff); lut_ref: (W, BT) contraction-major LUT; out_ref: (NT, BT)
+    raw sums in the LUT dtype's accumulator (f32 for f32/bf16, int32-as-f32
+    for int8 — the wrapper applies per-query scales)."""
+    codes = codes_ref[:]
+    if packed:
+        # two 4-bit codes per byte.  Unpacked lane order is
+        # [lo nibbles | hi nibbles] = groups [0,2,4,... | 1,3,5,...]; the
+        # LUT columns were permuted to match (no in-register interleave —
+        # Mosaic rejects that shape cast).
+        codes_u = jnp.concatenate([codes & 0xF, (codes >> 4) & 0xF], axis=1)
+    else:
+        codes_u = codes
+    rep = pltpu.repeat(codes_u, k, axis=1)  # (NT, W): lane w -> pos w % m_eff
+    oh = (rep == col_ref[:1]).astype(oh_dtype)
+    acc_t = jnp.int32 if oh_dtype == jnp.int8 else jnp.float32
+    acc = jax.lax.dot_general(
+        oh, lut_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc_t
+    )
+    out_ref[:] = acc.astype(jnp.float32)
+
+
+def _v2_lut_layout(lut_rows, packed, m_eff, r_pad, np_mod=np):
+    """(R, m, k) rows -> (W, r_pad) contraction-major layout.
+
+    Lane/sublane index w of the one-hot <-> (code c = w // m_eff, unpacked
+    position p = w % m_eff).  For packed codes position p maps to group
+    2p (p < cw: low nibbles) or 2(p - cw) + 1 (high nibbles); positions
+    whose group >= m are padding and get zero columns (their code-0 one-hot
+    hit contributes 0)."""
+    R, m, k = lut_rows.shape
+    cw = m_eff // 2 if packed else m_eff
+    if packed:
+        pos_to_group = np.concatenate([np.arange(0, 2 * cw, 2), np.arange(1, 2 * cw, 2)])
+    else:
+        pos_to_group = np.arange(m_eff)
+    valid = pos_to_group < m
+    src = np.where(valid, pos_to_group, 0)
+    # (R, m_eff, k) with zeroed padding columns
+    cols = jnp.where(
+        jnp.asarray(valid)[None, :, None],
+        jnp.take(lut_rows, jnp.asarray(src), axis=1),
+        0.0,
+    )
+    lut_p = jnp.transpose(cols, (2, 1, 0)).reshape(k * m_eff, R)  # (W, R)
+    if r_pad != R:
+        lut_p = jnp.pad(lut_p, ((0, 0), (0, r_pad - R)))
+    return lut_p
+
+
+@functools.partial(jax.jit, static_argnames=("packed", "lut_dtype", "interpret"))
+def _adc_sums_v2(codes, lut_rows, packed, lut_dtype, interpret):
+    N, cw = codes.shape
+    R, m, k = lut_rows.shape
+    m_eff = 2 * cw if packed else cw
+    W = m_eff * k
+    n_pad = ((N + _NT - 1) // _NT) * _NT
+    r_tile = min(_BT_MAX, ((R + 127) // 128) * 128)
+    r_pad = ((R + r_tile - 1) // r_tile) * r_tile
+
+    codes_p = codes.astype(jnp.int32)
+    if n_pad != N:
+        codes_p = jnp.pad(codes_p, ((0, n_pad - N), (0, 0)))
+    col = jnp.broadcast_to(
+        (jnp.arange(W, dtype=jnp.int32) // m_eff)[None, :], (8, W)
+    )
+    lut_p = _v2_lut_layout(lut_rows, packed, m_eff, r_pad)
+
+    if lut_dtype == "int8":
+        # per-query symmetric quantization; dequant rides the wrapper
+        scales = jnp.max(jnp.abs(lut_p), axis=0) / 127.0  # (r_pad,)
+        scales = jnp.where(scales > 0, scales, 1.0)
+        lut_q = jnp.round(lut_p / scales[None, :]).astype(jnp.int8)
+        oh_dtype = jnp.int8
+        scale_rows = jnp.broadcast_to(scales[None, :], (8, r_pad))
+    else:
+        oh_dtype = jnp.float32 if lut_dtype == "f32" else jnp.bfloat16
+        lut_q = lut_p.astype(oh_dtype)
+        scale_rows = None
+
+    kernel = functools.partial(
+        _adc_kernel_v2, k=k, packed=packed, oh_dtype=oh_dtype
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(r_pad // r_tile, n_pad // _NT),
+        in_specs=[
+            pl.BlockSpec((_NT, cw), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, r_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_NT, r_tile), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, r_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(codes_p, col, lut_q)
+    if scale_rows is not None:
+        out = out * scale_rows[:1]
+    return out[:N, :R]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("packed", "exact", "interpret", "lut_dtype")
+)
+def adc_sums(
+    codes: jax.Array,
+    lut_rows: jax.Array,
+    packed: bool = False,
+    exact: bool = False,
+    interpret: bool = False,
+    lut_dtype: str = "bf16",
+) -> jax.Array:
+    """Compute per-(base,query-row) ADC sums.
+
+    codes: (N, m) uint8/int32 codes, or (N, ceil(m/2)) packed nibble bytes
+      when `packed` — padded to tiles internally.
+    lut_rows: (R, m, k) f32 lookup rows (queries, plus optionally one extra
+      row of centroid squared norms for Cosine).
+    lut_dtype: "bf16" (default), "int8" (per-query quantized stage-1 — use
+      when the caller exact-reranks), or "f32"; `exact=True` forces f32.
+    Returns (N, R) f32 sums: sum_i lut_rows[r, i, codes[n, i]].
+    """
+    k = lut_rows.shape[2]
+    if exact:
+        lut_dtype = "f32"
+    if k > 16:
+        return _adc_sums_stepwise(codes, lut_rows, packed, exact, interpret)
+    return _adc_sums_v2(codes, lut_rows, packed, lut_dtype, interpret)
+
+
+# ---- fused chunk-min ADC scan (the production full-scan path) ----
+
+_CHUNK = 32  # base rows per surviving candidate
+
+
+def _adc_chunkmin_kernel(
+    nvalid_ref, codes_ref, col_ref, lut_ref, aux_ref, cs_ref,
+    outd_ref, outi_ref, *, k: int, packed: bool, oh_dtype, dist: str, chunk: int,
+):
+    """One base tile -> (NT/chunk, BT) chunk-min survivors.
+
+    codes_ref: (NT, cw) int32; col_ref: (8, W) int32 code-of-lane;
+    lut_ref: (W, BT) query LUT (int8/bf16/f32); aux_ref: (8, BT) f32 rows
+    [0]=per-query dequant scale, [1]=query norms (cosine), [2][0]=centroid
+    column scale; cs_ref: (W, 128) centroid-sqnorm LUT column (col 0) or a
+    (8, 128) dummy for L2; outd/outi: (NT/chunk, BT) survivor dist + GLOBAL
+    base-row position (pre-permutation decode)."""
+    i = pl.program_id(1)
+    NT = codes_ref.shape[0]
+    BT = lut_ref.shape[1]
+    codes = codes_ref[:]
+    if packed:
+        codes_u = jnp.concatenate([codes & 0xF, (codes >> 4) & 0xF], axis=1)
+    else:
+        codes_u = codes
+    rep = pltpu.repeat(codes_u, k, axis=1)
+    oh = (rep == col_ref[:1]).astype(oh_dtype)
+    acc_t = jnp.int32 if oh_dtype == jnp.int8 else jnp.float32
+    acc = jax.lax.dot_general(
+        oh, lut_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc_t
+    )
+    d = acc.astype(jnp.float32) * aux_ref[0:1]
+    if dist == "cosine":
+        cs_acc = jax.lax.dot_general(
+            oh, cs_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc_t
+        )
+        c_sq = cs_acc[:, :1].astype(jnp.float32) * aux_ref[2:3, :1]
+        norm0 = jnp.sqrt(jnp.maximum(c_sq, 0.0))
+        d = 1.0 - d / jnp.maximum(norm0 * aux_ref[1:2], 1e-10)
+    # mask padded base rows (beyond n_valid)
+    pos0 = i * NT
+    row_pos = jax.lax.broadcasted_iota(jnp.int32, (NT, 1), 0) + pos0
+    d = jnp.where(row_pos < nvalid_ref[0], d, jnp.inf)
+
+    mins, args = [], []
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, BT), 0)
+    for s in range(NT // chunk):
+        seg = d[s * chunk : (s + 1) * chunk, :]
+        mn = jnp.min(seg, axis=0, keepdims=True)
+        a = jnp.min(
+            jnp.where(seg == mn, rows, jnp.int32(2**30)), axis=0, keepdims=True
+        )
+        mins.append(mn)
+        args.append(pos0 + s * chunk + a)
+    outd_ref[:] = jnp.concatenate(mins, axis=0)
+    outi_ref[:] = jnp.concatenate(args, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_out", "dist", "packed", "lut_dtype", "chunk", "interpret"),
+)
+def adc_scan_chunkmin(
+    lookup: jax.Array,  # (B, m, k) f32
+    codes: jax.Array,  # PERMUTED (N, cw) device codes
+    perm: jax.Array,  # (N,) int32: position -> original id
+    n_valid,
+    cb_sqnorm: jax.Array,  # (m, k) f32
+    q_norms: jax.Array,  # (B,)
+    k_out: int,
+    dist: str,
+    packed: bool = False,
+    lut_dtype: str = "int8",
+    chunk: int = _CHUNK,
+    interpret: bool = False,
+):
+    """Full ADC scan fused with a chunk-min partial top-k.
+
+    The dense path materializes the (N, B) sum matrix in HBM and reduces it
+    outside the kernel — at 1M/B=1000 that is a 4 GB round trip plus a
+    1e5-wide top-k per block (measured 48-119 ms per 131k block, 4-10x the
+    ADC kernel itself).  Here each (chunk=32)-row group of PERMUTED base
+    rows is reduced to one (min, argmin) survivor inside the kernel (the
+    flat scan's chunk-min design, ops/pallas_scan.py), so the exact top-k
+    runs over N/32 survivors.  The permutation de-clusters storage order;
+    collision loss for top-ef selection is ~ef^2/(2*N/32) candidates
+    (~2 of 180 at N=1M), far below ADC quantization error, and callers
+    exact-rerank.
+
+    Returns (B, k_out) f32 dists + int32 ORIGINAL ids (decoded via perm).
+    """
+    from . import topk as T
+
+    B = lookup.shape[0]
+    N = codes.shape[0]
+    NT = _NT
+    n_pad = ((N + NT - 1) // NT) * NT
+    S = n_pad // chunk
+    kk = min(k_out, S)
+
+    R, m, k = lookup.shape[0], lookup.shape[1], lookup.shape[2]
+    cw = codes.shape[1]
+    m_eff = 2 * cw if packed else cw
+    W = m_eff * k
+    r_tile = min(_BT_MAX, ((B + 127) // 128) * 128)
+    r_pad = ((B + r_tile - 1) // r_tile) * r_tile
+
+    codes_p = codes.astype(jnp.int32)
+    if n_pad != N:
+        codes_p = jnp.pad(codes_p, ((0, n_pad - N), (0, 0)))
+    col = jnp.broadcast_to((jnp.arange(W, dtype=jnp.int32) // m_eff)[None, :], (8, W))
+    lut_p = _v2_lut_layout(lookup, packed, m_eff, r_pad)
+
+    cos = dist == "cosine"
+    if cos:
+        cs_full = _v2_lut_layout(cb_sqnorm[None], packed, m_eff, 128)  # (W, 128)
+    if lut_dtype == "int8":
+        scales = jnp.max(jnp.abs(lut_p), axis=0) / 127.0
+        scales = jnp.where(scales > 0, scales, 1.0)
+        lut_q = jnp.round(lut_p / scales[None, :]).astype(jnp.int8)
+        oh_dtype = jnp.int8
+        if cos:
+            cs_scale = jnp.maximum(jnp.max(jnp.abs(cs_full)) / 127.0, 1e-30)
+            cs_q = jnp.round(cs_full / cs_scale).astype(jnp.int8)
+        else:
+            cs_scale = jnp.float32(1.0)
+    else:
+        oh_dtype = jnp.float32 if lut_dtype == "f32" else jnp.bfloat16
+        lut_q = lut_p.astype(oh_dtype)
+        scales = jnp.ones((r_pad,), jnp.float32)
+        cs_scale = jnp.float32(1.0)
+        if cos:
+            cs_q = cs_full.astype(oh_dtype)
+    if not cos:
+        cs_q = jnp.zeros((8, 128), oh_dtype)
+
+    qn = jnp.zeros((r_pad,), jnp.float32).at[:B].set(q_norms)
+    aux = jnp.zeros((8, r_pad), jnp.float32)
+    aux = aux.at[0].set(jnp.broadcast_to(scales, (r_pad,)))
+    aux = aux.at[1].set(qn)
+    aux = aux.at[2, 0].set(cs_scale)
+
+    kernel = functools.partial(
+        _adc_chunkmin_kernel, k=k, packed=packed, oh_dtype=oh_dtype, dist=dist,
+        chunk=chunk,
+    )
+    cs_w = cs_q.shape[0]
+    outd, outi = pl.pallas_call(
+        kernel,
+        grid=(r_pad // r_tile, n_pad // NT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((NT, cw), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, r_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, r_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cs_w, 128), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((NT // chunk, r_tile), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NT // chunk, r_tile), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((S, r_pad), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(jnp.asarray([n_valid], jnp.int32), codes_p, col, lut_q, aux, cs_q)
+
+    d_q = outd.T[:B]  # (B, S)
+    p_q = outi.T[:B]
+    td, tp = T.topk_smallest(d_q, p_q, kk)
+    ids = jnp.where(jnp.isfinite(td), perm[jnp.clip(tp, 0, N - 1)], -1)
+    if kk < k_out:
+        td = jnp.pad(td, ((0, 0), (0, k_out - kk)), constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k_out - kk)), constant_values=-1)
+    return td, ids
 
 
 _IDS_QT = 128  # query-tile width for adc_dists_for_ids
@@ -191,15 +515,12 @@ def adc_dists_for_ids(
     (ops/pq.py:adc_lookup_codes) lowers to B*C*m scalar-unit gathers —
     ~41M per beam iteration at B=1000, C=128, m=320 — and measured ~30
     ms/query in round 1.  Here the gathered candidate code rows are fed
-    through the PROVEN scan kernel (`adc_sums`) per 128-query tile: it
-    computes sums against the whole tile's LUT rows and the per-query
-    diagonal is selected after.  That does QT=128x redundant MACs, but
-    one-hot matmuls are nearly free on the MXU (~1e10 bf16 MACs per beam
-    iteration ~ 0.05 ms) — a dedicated per-query kernel (elementwise VPU
-    broadcast) OOMed Mosaic's 16M scoped-vmem stack at m=320, and this
-    formulation reuses a kernel whose tiling is already validated on the
-    chip.  The code-row gather stays in XLA (code rows are far below the
-    (32, 128) int8 tile, so per-row DMA cannot be aligned)."""
+    through the scan kernel (`adc_sums`) per 128-query tile: it computes
+    sums against the whole tile's LUT rows and the per-query diagonal is
+    selected after.  That does QT=128x redundant MACs, but one-hot matmuls
+    are nearly free on the MXU; the code-row gather stays in XLA (code rows
+    are far below the (32, 128) int8 tile, so per-row DMA cannot be
+    aligned)."""
     B, C = ids.shape
     QT = _IDS_QT
     b_pad = ((B + QT - 1) // QT) * QT
@@ -231,7 +552,9 @@ def adc_dists_for_ids(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_out", "dist", "packed", "exact", "block", "interpret")
+    jax.jit,
+    static_argnames=("k_out", "dist", "packed", "exact", "block", "interpret",
+                     "lut_dtype"),
 )
 def adc_scan_pallas(
     lookup: jax.Array,  # (B, m, k) f32
@@ -245,10 +568,14 @@ def adc_scan_pallas(
     exact: bool = False,
     block: int = 131072,
     interpret: bool = False,
+    lut_dtype: str = "int8",
 ):
     """Full ADC scan + top-k through the Pallas kernel, blocked over N so
     the (N, B) distance matrix never materializes (at N=1e6, B=1e3 it would
     be 4 GB of HBM).
+
+    Stage-1 candidate ordering defaults to the int8-quantized LUT (every
+    caller exact-reranks; see module docstring for the error budget).
 
     Same contract as ops.pq.adc_scan: (B, k_out) dists/ids.
     """
@@ -262,7 +589,8 @@ def adc_scan_pallas(
         rows = lookup
 
     def block_dists(tile_codes, start):
-        sums = adc_sums(tile_codes, rows, packed=packed, exact=exact, interpret=interpret)
+        sums = adc_sums(tile_codes, rows, packed=packed, exact=exact,
+                        interpret=interpret, lut_dtype=lut_dtype)
         if dist == "cosine":
             dots = sums[:, :B]
             c_sq = sums[:, B]
@@ -277,7 +605,7 @@ def adc_scan_pallas(
     if N <= block:
         d, ids = block_dists(codes, jnp.int32(0))
         kk = min(k_out, N)
-        bd, bi = T.topk_smallest(d, ids, kk)
+        bd, bi = T.select_smallest(d, ids, kk)
         if kk < k_out:
             bd = jnp.pad(bd, ((0, 0), (0, k_out - kk)), constant_values=jnp.inf)
             bi = jnp.pad(bi, ((0, 0), (0, k_out - kk)), constant_values=-1)
@@ -293,7 +621,10 @@ def adc_scan_pallas(
         start = blk * block
         tile = jax.lax.dynamic_slice(codes, (start, 0), (block, codes.shape[1]))
         d, ids = block_dists(tile, start)
-        return T.merge_topk(best_d, best_i, d, ids, k_out), None
+        # block-wide reduce via approx_min_k (exact at recall_target=1.0);
+        # the full-sort lax.top_k on 1e5-wide rows cost ~6x the ADC kernel
+        td, ti = T.select_smallest(d, ids, k_out)
+        return T.merge_topk(best_d, best_i, td, ti, k_out), None
 
     init = (
         jnp.full((B, k_out), jnp.inf, jnp.float32),

@@ -44,6 +44,17 @@ def merge_topk(
     return topk_smallest(d, i, k)
 
 
+def select_smallest(d: jax.Array, ids: jax.Array, kk: int) -> tuple[jax.Array, jax.Array]:
+    """Exact kk-smallest over the last axis, routed by width: wide rows use
+    `approx_min_k(recall_target=1.0)` (TPU's partial-reduce top-k — orders of
+    magnitude faster than the full-sort `lax.top_k` at 1e5-wide rows; at
+    recall_target 1.0 it is exact), narrow rows the plain sort."""
+    if d.shape[-1] > 4 * kk:
+        bd, pos = jax.lax.approx_min_k(d, kk, recall_target=1.0)
+        return bd, jnp.take_along_axis(ids, pos, axis=-1)
+    return topk_smallest(d, ids, kk)
+
+
 @partial(jax.jit, static_argnames=("k", "dist", "block"))
 def knn_scan(
     queries: jax.Array,
@@ -68,14 +79,7 @@ def knn_scan(
     q = queries.astype(jnp.float32)
     q_cache = D.dist_cache(q, dist)
 
-    def select(d, ids, kk):
-        """Exact kk-smallest via approx_min_k(recall_target=1.0) — TPU's
-        partial-reduce top-k, far faster than the full-sort lax.top_k on
-        wide rows."""
-        if d.shape[-1] > 4 * kk:
-            bd, pos = jax.lax.approx_min_k(d, kk, recall_target=1.0)
-            return bd, jnp.take_along_axis(ids, pos, axis=-1)
-        return topk_smallest(d, ids, kk)
+    select = select_smallest
 
     if n_pad <= block:
         d = D.pairwise(q, base, dist, q_cache=q_cache)

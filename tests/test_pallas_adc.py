@@ -62,20 +62,25 @@ def test_pallas_adc_packed_nibbles(dist, gist_1000):
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_u))
 
 
-def test_pallas_adc_bf16_tolerance(gist_1000):
-    """The production bf16 LUT path: partial-distance rounding must stay
-    small relative to the distances (stage-1 ordering only; callers
-    exact-rerank)."""
+@pytest.mark.parametrize(
+    "lut_dtype,med_tol,max_tol",
+    [("bf16", 5e-3, 0.15), ("int8", 3e-2, 0.5)],
+)
+def test_pallas_adc_quantized_lut_tolerance(lut_dtype, med_tol, max_tol, gist_1000):
+    """The production quantized-LUT paths (bf16, and the per-query int8
+    stage-1 default): partial-distance rounding must stay small relative to
+    the distances (stage-1 ordering only; callers exact-rerank)."""
     pq, lookup, q_norms, n = _fixture("l2sqr", gist_1000)
     codes_dev, _, cb_sq = pq.device()
     d_ref, _ = P.adc_scan(lookup, jnp.asarray(pq.codes), jnp.int32(n), cb_sq, q_norms, 10, "l2sqr")
     d_bf, _ = PA.adc_scan_pallas(
         lookup, codes_dev, jnp.int32(n), cb_sq, q_norms, 10, "l2sqr",
-        packed=True, interpret=True,
+        packed=True, interpret=True, lut_dtype=lut_dtype,
     )
     ref = np.asarray(d_ref)
     rel = np.abs(np.asarray(d_bf) - ref) / np.maximum(np.abs(ref), 1e-6)
-    assert np.median(rel) < 5e-3 and rel.max() < 0.15
+    print(f"{lut_dtype}: median {np.median(rel):.2e} max {rel.max():.2e}")
+    assert np.median(rel) < med_tol and rel.max() < max_tol
 
 
 def test_unpack_codes_4bit_dev_roundtrip(rng):
@@ -114,3 +119,38 @@ def test_adc_dists_for_ids_matches_xla(dist, packed, gist_1000):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
     )
+
+
+@pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
+@pytest.mark.parametrize("lut_dtype", ["f32", "int8"])
+def test_adc_scan_chunkmin_matches_dense(dist, lut_dtype, rng):
+    """The fused chunk-min scan (the production full-scan path) must agree
+    with the exact XLA ADC ordering up to chunk-collision loss: top-10 of a
+    4096-row set, >= 9/10 mean overlap (deterministic fixture/seed)."""
+    n, dim, m, nb = 4096, 32, 8, 4
+    vecs = np.abs(rng.standard_normal((n, dim))).astype(np.float32)
+    queries = np.abs(rng.standard_normal((16, dim))).astype(np.float32)
+    cfg = PQConfig(n_bits=nb, m=m, dist=dist, k_means_size=512)
+    pq = PQTable.train(vecs, cfg, seed=0)
+    lookup, q_norms = pq.create_lookup(jnp.asarray(queries))
+    _, _, cb_sq = pq.device()
+
+    d_ref, i_ref = P.adc_scan(
+        lookup, jnp.asarray(pq.codes), jnp.int32(n), cb_sq, q_norms, 10, dist)
+
+    codes_s, perm = pq.device_scan()
+    d_cm, i_cm = PA.adc_scan_chunkmin(
+        lookup, codes_s, perm, jnp.int32(n), cb_sq, q_norms, 10, dist,
+        packed=pq.packed, lut_dtype=lut_dtype, interpret=True)
+
+    a, e = np.asarray(i_cm), np.asarray(i_ref)
+    overlap = np.mean([len(set(a[i]) & set(e[i])) / 10 for i in range(len(e))])
+    assert overlap >= 0.9, overlap
+    # survivor distances must match the exact ADC distance of the id they
+    # name (f32 path: to rounding; int8: to the quantization budget)
+    dd = np.asarray(d_cm)
+    md = np.asarray(P.adc_lookup_codes(
+        jnp.asarray(pq.codes)[np.maximum(a, 0)], lookup, cb_sq, dist, q_norms))
+    rel = np.abs(dd - md) / np.maximum(np.abs(md), 1e-5)
+    tol = 1e-4 if lut_dtype == "f32" else 5e-2
+    assert np.median(rel[a >= 0]) < tol
