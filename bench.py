@@ -810,14 +810,24 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
             # topology pairs with the regenerated store exactly.
             cache = os.environ.get("BENCH_HNSW_CACHE", "")
             store.free_search_caches()
+            # dataset fingerprint stamped into the cache meta (ADVICE r3 #2):
+            # a stale topology from a different seed/shape/config silently
+            # pairs wrong links with regenerated vectors and corrupts recall
+            fingerprint = f"gist-spectrum seed=0 n={n} dim={dim} dist=l2sqr M=16 efc=200 build_seed=42"
+            cached_ok = False
             if cache and os.path.exists(cache):
                 from lab_1806_vec_db_tpu.utils import serde as _serde
 
-                log(f"[2/6] HNSW topology from cache {cache}")
                 arrays, hmeta = _serde.load_arrays(cache)
-                hnsw = HNSWIndex.from_state(arrays, hmeta, external_store=store)
-                build_s = float(hmeta.get("build_seconds", 0.0))
-            else:
+                if hmeta.get("dataset_fingerprint") == fingerprint:
+                    log(f"[2/6] HNSW topology from cache {cache}")
+                    hnsw = HNSWIndex.from_state(arrays, hmeta, external_store=store)
+                    build_s = float(hmeta.get("build_seconds", 0.0))
+                    cached_ok = True
+                else:
+                    log(f"cache {cache} fingerprint mismatch "
+                        f"({hmeta.get('dataset_fingerprint')!r} != {fingerprint!r}); rebuilding")
+            if not cached_ok:
                 log("[2/6] HNSW build (M=16, efc=200)")
                 # drop the scan sweep's mirrors first: the f32 rerank slab +
                 # int8 mirror (~4.9 GB at 1M x 960) left resident alongside
@@ -833,6 +843,7 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
                 if cache:
                     arrays, hmeta = hnsw.state(include_vectors=False)
                     hmeta["build_seconds"] = round(build_s, 1)
+                    hmeta["dataset_fingerprint"] = fingerprint
                     from lab_1806_vec_db_tpu.utils import serde as _serde
 
                     _serde.save_arrays(cache, arrays, hmeta)

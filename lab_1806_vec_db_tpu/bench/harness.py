@@ -52,13 +52,35 @@ class ResultList:
                 self.results[r["label"]] = r
         return self
 
-    def update(self, label: str, ef: list[int], search_time: list[float], recall: list[float]):
-        self.results[label] = {
+    def update(
+        self,
+        label: str,
+        ef: list[int],
+        search_time: list[float],
+        recall: list[float],
+        search_time_median: list[float] | None = None,
+        build_seconds: float | None = None,
+        index_device_bytes: int | None = None,
+    ):
+        """One row per label.  Beyond the reference's ef/search_time/recall
+        (bench.rs:312-368) rows carry the BASELINE-mandated fields: per-ef
+        median ms/query (shared-chip honesty), build wall-clock (the
+        reference prints but does not commit it, bench.rs:199-206), and the
+        index's device-HBM footprint (the BASELINE.md "equal index memory"
+        clause needs it committed)."""
+        row = {
             "label": label,
             "ef": list(ef),
             "search_time": [float(x) for x in search_time],
             "recall": [float(x) for x in recall],
         }
+        if search_time_median is not None:
+            row["search_time_median"] = [float(x) for x in search_time_median]
+        if build_seconds is not None:
+            row["build_seconds"] = round(float(build_seconds), 2)
+        if index_device_bytes is not None:
+            row["index_device_bytes"] = int(index_device_bytes)
+        self.results[label] = row
 
     def save(self, path: str) -> None:
         lines = [f'title = "{self.title}"', ""]
@@ -66,7 +88,13 @@ class ResultList:
             lines.append("[[results]]")
             lines.append(f'label = "{r["label"]}"')
             lines.append(f'ef = {list(r["ef"])}')
+            if "build_seconds" in r:
+                lines.append(f'build_seconds = {r["build_seconds"]!r}')
+            if "index_device_bytes" in r:
+                lines.append(f'index_device_bytes = {r["index_device_bytes"]}')
             lines.append(f'search_time = {_fmt_floats(r["search_time"])}')
+            if "search_time_median" in r:
+                lines.append(f'search_time_median = {_fmt_floats(r["search_time_median"])}')
             lines.append(f'recall = {_fmt_floats(r["recall"])}')
             lines.append("")
         atomic_write_bytes(path, "\n".join(lines).encode())
@@ -220,7 +248,7 @@ def run_bench(
     if config.mesh > 0:
         from ..parallel import sharded as S
 
-        index, _ = load_or_build_sharded(config, base)
+        index, build_s = load_or_build_sharded(config, base)
         pq = None  # ShardedPQFlatIndex carries its table internally
 
         def search_all(ef: int) -> np.ndarray:
@@ -240,8 +268,10 @@ def run_bench(
             return np.concatenate(out, axis=0)
 
     else:
-        index, _ = load_or_build_index(config, base)
-        pq, _ = load_or_build_pq(config, base)
+        index, build_s = load_or_build_index(config, base)
+        pq, pq_build_s = load_or_build_pq(config, base)
+        if pq_build_s is not None:
+            build_s = (build_s or 0.0) + pq_build_s
 
         def search_all(ef: int) -> np.ndarray:
             B = batch or len(test)
@@ -259,19 +289,34 @@ def run_bench(
                 out.append(ids)
             return np.concatenate(out, axis=0)
 
-    efs, times, recalls = [], [], []
+    efs, times, medians, recalls = [], [], [], []
     for ef in config.ef:
         search_all(ef)  # warm-up/compile
-        t0 = time.perf_counter()
+        rep_times = []
         for _ in range(repeat):
+            t0 = time.perf_counter()
             ids = search_all(ef)
-        elapsed = time.perf_counter() - t0
-        ms_per_query = elapsed / (repeat * len(test)) * 1000.0
+            rep_times.append(time.perf_counter() - t0)
+        scale = 1000.0 / len(test)
+        ms_per_query = sum(rep_times) / len(rep_times) * scale
+        ms_median = float(np.median(rep_times)) * scale
         recall = gt.batch_recall(ids)
         print(f"ef: {ef}, Average Search Time: {ms_per_query:.4f}ms, Average recall: {recall:.4f}")
         efs.append(ef)
         times.append(ms_per_query)
+        medians.append(ms_median)
         recalls.append(recall)
+
+    # device-HBM footprint AFTER the sweep (mirrors/caches materialize
+    # lazily on first search)
+    index_bytes = None
+    if hasattr(index, "index_bytes"):
+        try:
+            index_bytes = int(index.index_bytes())
+            if pq is not None:
+                index_bytes += int(pq.device_bytes())
+        except Exception:
+            index_bytes = None
 
     if config.bench_output:
         rl = ResultList.load(config.bench_output)
@@ -279,11 +324,15 @@ def run_bench(
             rl.title = out_title
         elif not rl.title:
             rl.title = f"Bench (N={len(base)}, dim={base.shape[1]}, device-batched)"
-        rl.update(config.label, efs, times, recalls)
+        rl.update(config.label, efs, times, recalls,
+                  search_time_median=medians, build_seconds=build_s,
+                  index_device_bytes=index_bytes)
         rl.save(config.bench_output)
         rl.plot_html(os.path.splitext(config.bench_output)[0] + ".html")
         print(f"Results merged into {config.bench_output}")
-    return {"label": config.label, "ef": efs, "search_time": times, "recall": recalls}
+    return {"label": config.label, "ef": efs, "search_time": times,
+            "search_time_median": medians, "recall": recalls,
+            "build_seconds": build_s, "index_device_bytes": index_bytes}
 
 
 def main(argv=None) -> None:

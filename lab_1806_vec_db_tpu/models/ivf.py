@@ -37,8 +37,26 @@ _QB = 128  # queries per list bin in the batched binned scan
 # One fused search program while its arguments + the binned kernel's
 # lane-padded (R, 1) channel transients (~1 KB/row) fit HBM; beyond this
 # the exact rerank dispatches as a separate program (measured: the fused
-# program requests 18.6 GB at N=4M x 960 on a 15.75 GB v5e).
-_FUSED_HBM_BUDGET = 13_000_000_000
+# program requests 18.6 GB at N=4M x 960 on a 15.75 GB v5e).  Resolved
+# from the device's reported HBM limit at first use (ADVICE r3 #3) with
+# the measured 13 GB/16 GB ratio as headroom; chips that report no
+# memory_stats (e.g. the axon tunnel) use the 13 GB v5e fallback.
+# Tests may monkeypatch `_FUSED_HBM_BUDGET` to force either path.
+_FUSED_HBM_BUDGET: int | None = None
+
+
+def _fused_hbm_budget() -> int:
+    global _FUSED_HBM_BUDGET
+    if _FUSED_HBM_BUDGET is None:
+        budget = 13_000_000_000
+        try:
+            stats = _jax.local_devices()[0].memory_stats()
+            if stats and stats.get("bytes_limit"):
+                budget = int(stats["bytes_limit"] * (13 / 16))
+        except Exception:
+            pass
+        _FUSED_HBM_BUDGET = budget
+    return _FUSED_HBM_BUDGET
 _LPAD_MULT = 512  # list rows padded to this (binned kernel grid tile)
 _LCAP_QUANTILE = 0.9  # lists capped at this length quantile (padded); the
 # remainder spills to the always-scanned overflow segment
@@ -603,7 +621,7 @@ class IVFIndex:
             q8s.nbytes + base_rs.nbytes + q8_ov.nbytes
             + ch_row * (q8s.shape[0] + q8_ov.shape[0])
         )
-        if est <= _FUSED_HBM_BUDGET:
+        if est <= _fused_hbm_budget():
             d, i, n_dropped = _binned_search_jit(
                 q_dev, centroids, q8s, scale_s, cache_s, perm_pad, base_rs,
                 q8_ov, scale_ov, cache_ov, perm_ov,

@@ -40,6 +40,13 @@ Array = jax.Array
 # lax.top_k formulation (5.54 -> 2.69 ms/iter at B=1000/ef=120/E=4 on v5e)
 # with bit-identical beam contents.  CPU (tests/oracle) keeps top_k.
 _PALLAS_MERGE = os.environ.get("VECDB_TPU_PALLAS_MERGE", "1") == "1"
+
+
+def set_pallas_merge(enabled: bool) -> None:
+    """A/B seam for the beam-merge engine (ADVICE r3 #4).  Read at TRACE
+    time — call `jax.clear_caches()` after flipping."""
+    global _PALLAS_MERGE
+    _PALLAS_MERGE = bool(enabled)
 # node_dist_fn: (B, C) int32 ids -> (B, C) f32 distances.  Ids may be -1
 # (invalid): the fn may return ANY value there (callers mask), but must not
 # fault — and the Pallas DMA-gather implementation uses an all-invalid row

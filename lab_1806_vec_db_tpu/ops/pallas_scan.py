@@ -352,6 +352,16 @@ _BIG = 3.0e38  # finite sentinel: keeps packed bits non-NaN (plain float: jnp co
 _BLOCKED_CHANNELS = os.environ.get("VECDB_TPU_BLOCKED_CHANNELS", "1") == "1"
 
 
+def set_blocked_channels(enabled: bool) -> None:
+    """A/B seam for the blocked-channel kernel variants (ADVICE r3 #4: the
+    env var was read once at import, so one process could never exercise
+    both).  The flag is read at TRACE time inside jitted wrappers — call
+    `jax.clear_caches()` after flipping so cached traces don't pin the old
+    variant."""
+    global _BLOCKED_CHANNELS
+    _BLOCKED_CHANNELS = bool(enabled)
+
+
 def query_channels(q_scale: jax.Array, q_cache: jax.Array, dist: str):
     """Query-side (qs2, qc) for the unified kernel formula
     d = cache_x + qc - dots * (scale_x * qs2) — see _scan_kernel_int8_packed.

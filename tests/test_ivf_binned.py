@@ -130,3 +130,22 @@ def test_binned_n_probes_exceeds_nlist():
     index = IVFIndex.from_numpy(base, "l2sqr", IVFConfig(k=4), seed=1)
     d, i = index._knn_device_binned(jnp.asarray(queries), 5, 8, interpret=True)
     assert np.asarray(i).shape == (16, 5)
+
+
+def test_binned_split_rerank_matches_fused(monkeypatch):
+    """The split dispatch (candidates program + separate rerank, taken when
+    the fused program exceeds the HBM budget) must return exactly what the
+    fused program returns (ADVICE r3 #1: the split path only triggered at
+    multi-GB sizes, so no test executed it)."""
+    import lab_1806_vec_db_tpu.models.ivf as ivf_mod
+
+    base, queries = _clustered(4000, 48, 16, seed=5, n_clusters=4)
+    index = IVFIndex.from_numpy(base, "l2sqr", IVFConfig(k=4), seed=1)
+    q = jnp.asarray(queries)
+    d_fused, i_fused = index._knn_device_binned(q, 10, 4, interpret=True)
+    monkeypatch.setattr(ivf_mod, "_FUSED_HBM_BUDGET", 0)
+    d_split, i_split = index._knn_device_binned(q, 10, 4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_split), np.asarray(i_fused))
+    np.testing.assert_allclose(
+        np.asarray(d_split), np.asarray(d_fused), rtol=1e-5, atol=1e-6
+    )

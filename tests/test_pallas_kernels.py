@@ -251,3 +251,35 @@ def test_gather_dists_bf16_slab():
     finite = np.isfinite(oracle)
     np.testing.assert_allclose(gd[finite], oracle[finite], rtol=3e-2, atol=1e-2)
     assert np.isinf(gd[~finite]).all()
+
+
+def test_scan_packed_blocked_channels_ab():
+    """Both channel-operand variants of the packed scan (blocked vs (N,1)
+    lane-padded) in ONE process via the set_blocked_channels seam
+    (ADVICE r3 #4): identical survivors and distances."""
+    import jax
+
+    N, dim, B, r = 4200, 32, 8, 12
+    base, qs = _make("l2sqr", N, dim, B)
+    from lab_1806_vec_db_tpu.ops import topk as T
+
+    base_i8, scales = T.quantize_rows_int8(jnp.asarray(base))
+    cache = D.dist_cache(jnp.asarray(base), "l2sqr")
+    prev = PS._BLOCKED_CHANNELS
+    outs = {}
+    try:
+        for flag in (True, False):
+            PS.set_blocked_channels(flag)
+            jax.clear_caches()
+            outs[flag] = PS.scan_candidates_int8_packed(
+                jnp.asarray(qs), base_i8, scales, cache, jnp.int32(N), r,
+                "l2sqr", interpret=True,
+            )
+    finally:
+        PS.set_blocked_channels(prev)
+        jax.clear_caches()
+    np.testing.assert_array_equal(
+        np.asarray(outs[True][1]), np.asarray(outs[False][1]))
+    np.testing.assert_allclose(
+        np.asarray(outs[True][0]), np.asarray(outs[False][0]),
+        rtol=1e-6, atol=1e-7)
