@@ -2,6 +2,7 @@ from .store import VecStore
 from .flat import FlatIndex
 from .pq_table import PQTable
 from .ivf import IVFIndex
+from .pq_codes import PQCodesIndex
 from .hnsw import HNSWIndex
 from .kmeans import KMeans
 from .u8 import U8VecSet, FlatIndexU8
@@ -12,6 +13,7 @@ __all__ = [
     "FlatIndex",
     "PQTable",
     "IVFIndex",
+    "PQCodesIndex",
     "HNSWIndex",
     "KMeans",
     "U8VecSet",

@@ -370,7 +370,8 @@ def _adc_chunkmin_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_out", "dist", "packed", "lut_dtype", "chunk", "interpret"),
+    static_argnames=("k_out", "dist", "packed", "lut_dtype", "chunk", "selector",
+                     "interpret"),
 )
 def adc_scan_chunkmin(
     lookup: jax.Array,  # (B, m, k) f32
@@ -384,6 +385,7 @@ def adc_scan_chunkmin(
     packed: bool = False,
     lut_dtype: str = "int8",
     chunk: int = _CHUNK,
+    selector: str = "exact",
     interpret: bool = False,
 ):
     """Full ADC scan fused with a chunk-min partial top-k.
@@ -398,6 +400,11 @@ def adc_scan_chunkmin(
     collision loss for top-ef selection is ~ef^2/(2*N/32) candidates
     (~2 of 180 at N=1M), far below ADC quantization error, and callers
     exact-rerank.
+
+    PERM CONTRACT: padding is masked by POSITION (< n_valid), so `perm`
+    must map positions [0, n_valid) to exactly the valid original ids —
+    permute the valid rows only and keep any capacity padding at the tail
+    (PQTable.device_scan and PQCodesIndex.build_from_fill both do).
 
     Returns (B, k_out) f32 dists + int32 ORIGINAL ids (decoded via perm).
     """
@@ -484,7 +491,15 @@ def adc_scan_chunkmin(
 
     d_q = outd.T[:B]  # (B, S)
     p_q = outi.T[:B]
-    td, tp = T.topk_smallest(d_q, p_q, kk)
+    if selector == "approx" and S > 4 * kk:
+        # wide candidate-pool selection (stage-0 of the codes tier): the
+        # exact lax.top_k sort on 3e5-wide rows costs more than the scan;
+        # approx_min_k at recall_target .95 loses ~5% of pool members the
+        # downstream ef-selection would mostly drop anyway
+        td, pos = jax.lax.approx_min_k(d_q, kk, recall_target=0.95)
+        tp = jnp.take_along_axis(p_q, pos, axis=-1)
+    else:
+        td, tp = T.topk_smallest(d_q, p_q, kk)
     ids = jnp.where(jnp.isfinite(td), perm[jnp.clip(tp, 0, N - 1)], -1)
     if kk < k_out:
         td = jnp.pad(td, ((0, 0), (0, k_out - kk)), constant_values=jnp.inf)
