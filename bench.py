@@ -275,6 +275,10 @@ def make_fill(seed: int, dim: int, kind: str = "gist"):
     def queries(n_queries):
         return gen(kq, params, n_queries)
 
+    # jit-traceable form for consumers that re-generate INSIDE one device
+    # program (PQCodesIndex's single-dispatch refine): same draw, same
+    # fold_in(kb, row0) keying as fill
+    fill.traced = (draw, params, kb)
     return fill, queries
 
 
@@ -633,6 +637,121 @@ def bench_hnsw(n: int, k: int, n_queries: int, ef: int) -> dict:
         "build_vecs_per_s": round(n / build_s, 1),
         "baseline": "Gist1M HNSW ef=120 multi-threaded CPU, 6514 QPS @ recall 0.8504 (data/t_bench.toml)",
         "note": "Gist-spectrum synthetic dim-960 dataset; recall vs exact on-device GT",
+    }
+
+
+def bench_codes(n: int, k: int, n_queries: int) -> dict:
+    """Codes-resident IVF-PQ tier sweep (VERDICT r3 item 2): N rows served
+    from cluster-sorted PQ codes alone (~200-230 B/row on device incl. list
+    padding) — binned probed-list ADC at full m=320 quality + exact-f32
+    refine via the retained block generator.  Written to
+    data/t_bench_<tag>_codes_tpu.toml.
+
+    At 10M x 960 the f32 set would be 38 GB and even the lean tier's
+    ~3 KB/row exceeds one v5e chip; the codes tier holds it in ~1.8 GB.
+    Recall is measured against exact f32 GT computed by blocked
+    regeneration (the same generator the refine uses)."""
+    import jax
+    import jax.numpy as jnp
+    from lab_1806_vec_db_tpu.models import IVFPQIndex
+    from lab_1806_vec_db_tpu.utils.config import PQConfig
+    from lab_1806_vec_db_tpu.utils.profiling import progress_bar
+
+    dim = 960
+    tag = f"{n // 1_000_000}M" if n % 1_000_000 == 0 else str(n)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data",
+        f"t_bench_{tag}_codes_tpu.toml",
+    )
+
+    fill, queries_fn = make_fill(0, dim)
+    q_dev = jnp.asarray(queries_fn(n_queries))
+
+    nlist = int(os.environ.get("BENCH_NLIST", "2048"))
+    log(f"[1/3] IVF-PQ codes-tier ingest: N={n} x {dim} (PQ m=320, nlist={nlist})")
+    t0 = time.perf_counter()
+    idx = IVFPQIndex.build_from_fill(
+        fill, n, dim, "l2sqr", nlist=nlist,
+        pq_config=PQConfig(n_bits=4, m=320, dist="l2sqr", k_means_size=25_000),
+        traced_gen=fill.traced,
+        progress=progress_bar(n, "ivfpq-ingest"),
+    )
+    build_s = time.perf_counter() - t0
+    bytes_row = idx.index_bytes() / n
+    log(f"built in {build_s:.1f}s; {idx.index_bytes()/1e9:.2f} GB device "
+        f"({bytes_row:.0f} B/row); lpad {idx.lpad}, overflow {idx.ov_count} "
+        f"({idx.ov_count/n:.2%}); main self-test {idx.pq.adc_quality:.3f}")
+
+    log("[2/3] exact f32 ground truth (blocked regeneration)")
+    t0 = time.perf_counter()
+    gt_ids = exact_gt_blocked(fill, n, q_dev, k, "l2sqr", 131072)
+    log(f"ground truth in {time.perf_counter()-t0:.1f}s")
+
+    def chained_stats(step, reps=4, rounds=3):
+        times = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            s = jnp.float32(0.0)
+            for _ in range(reps):
+                d_out, _ = step(q_dev + s * 1e-30)
+                s = s + d_out[0, 0] * 1e-30
+            np.asarray(s)
+            times.append((time.perf_counter() - t0) / reps)
+        scale = 1000.0 / n_queries
+        return min(times) * scale, float(np.median(times)) * scale
+
+    log("[3/3] (n_probes, ef) sweep")
+    combos = [(16, 200), (32, 200), (64, 400)]
+    ms, med, rec, efs = [], [], [], []
+    for p, ef in combos:
+        step = lambda q, p=p, ef=ef: idx.knn_batch(q, k, n_probes=p, ef=ef)
+        _, ids = step(q_dev)
+        rec.append(round(recall_at_k(gt_ids, np.asarray(ids), k), 4))
+        b, m_ = chained_stats(step)
+        ms.append(round(b, 4))
+        med.append(round(m_, 4))
+        efs.append(p)
+        log(f"  ivfpq probes={p} ef={ef}: {ms[-1]:.4f} ms/q (med {med[-1]:.4f}) "
+            f"recall@{k}={rec[-1]:.4f}")
+
+    title = (
+        f'title = "Gist-spectrum synthetic {tag} x 960, single TPU v5e chip, IVF-PQ CODES '
+        f"tier (nlist={nlist} cluster-sorted packed m=320 codes + slot map; NO per-row "
+        "float storage on device; binned probed-list ADC + overflow scan + exact-f32 "
+        "refine via block regeneration), batch=1000; ef = n_probes "
+        "(ivf_index.rs:137-142 convention), rerank ef pairs per row in ef_rerank; "
+        "search_time = ms/query (best of chained rounds, shared chip; median alongside); "
+        'recall@10 vs exact f32 GT by blocked regeneration."\n'
+    )
+    lines = [title, "[[results]]",
+             f'label = "tpu-ivfpq m320 binned-adc+exact-refine (build {build_s:.0f}s)"',
+             f"ef = {efs}",
+             f"build_seconds = {round(build_s, 1)!r}",
+             f"index_device_bytes = {idx.index_bytes()}",
+             f"ef_rerank = {[e for _, e in combos]}"]
+    lines.append("search_time = [\n" + ",\n".join(f"    {v!r}" for v in ms) + ",\n]")
+    lines.append("search_time_median = [\n" + ",\n".join(f"    {v!r}" for v in med) + ",\n]")
+    lines.append("recall = [\n" + ",\n".join(f"    {v!r}" for v in rec) + ",\n]")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    log(f"written to {out_path}")
+
+    best = max(range(len(ms)), key=lambda i: (rec[i] >= 0.85, 1.0 / ms[i]))
+    qps = round(1000.0 / ms[best], 1)
+    return {
+        "metric": f"codes_tier_{tag}_qps",
+        "value": qps,
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "recall_at_10": rec[best],
+        "n": n,
+        "dim": dim,
+        "batch": n_queries,
+        "index_device_bytes": idx.index_bytes(),
+        "bytes_per_row": round(bytes_row, 1),
+        "build_seconds": round(build_s, 1),
+        "baseline": "Gist1M HNSW ef=120 multi-threaded CPU, 6514 QPS @ recall 0.8504 (data/t_bench.toml)",
+        "note": f"codes-resident tier at {tag} rows on one chip; see {os.path.basename(out_path)}",
     }
 
 
@@ -1016,6 +1135,9 @@ def main() -> None:
     elif mode == "big":
         n = int(os.environ.get("BENCH_N", "4000000"))
         result = bench_sweep_big(n, k, n_queries)
+    elif mode == "codes":
+        n = int(os.environ.get("BENCH_N", "10000000"))
+        result = bench_codes(n, k, n_queries)
     else:
         n = int(os.environ.get("BENCH_N", "1000000"))
         result = bench_scan(n, k, n_queries)

@@ -82,7 +82,8 @@ def _build_posting(assign: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _sorted_layout(
-    posting: np.ndarray, posting_len: np.ndarray, k: int
+    posting: np.ndarray, posting_len: np.ndarray, k: int,
+    cap_quantile: float = _LCAP_QUANTILE,
 ) -> tuple[int, np.ndarray, np.ndarray]:
     """Cluster-sorted mirror layout for the binned scan.
 
@@ -93,7 +94,7 @@ def _sorted_layout(
     query, so spilled rows stay findable regardless of probe choice).
     """
     lens = posting_len
-    l_q = int(np.quantile(lens, _LCAP_QUANTILE)) if len(lens) else 1
+    l_q = int(np.quantile(lens, cap_quantile)) if len(lens) else 1
     lpad = max(_LPAD_MULT, ((l_q + _LPAD_MULT - 1) // _LPAD_MULT) * _LPAD_MULT)
     perm_pad = np.full((k * lpad,), -1, dtype=np.int32)
     ov_ids = []

@@ -1,0 +1,404 @@
+"""IVF-PQ index: probed-list ADC search over codes-resident storage.
+
+The classic inverted-file + product-quantization pairing (the reference
+ships IVF and PQ separately — ivf_index.rs posting scan, pq_table.rs ADC —
+and never composes them; FAISS-style IVFPQ is their natural composition and
+the right 10M+/chip design on TPU), built from three existing pieces:
+
+  - cluster-sorted PACKED code storage (the binned-IVF "sorted mirror"
+    layout, models/ivf.py:_sorted_layout: each posting list is one
+    contiguous lpad-row segment; tails past the length-quantile cap spill
+    to a shared overflow segment),
+  - the binned chunk-min ADC kernel (ops/pallas_adc.py:adc_chunkmin_binned):
+    each probed list is scanned ONCE against only the <=QB queries binned
+    to it (ops/binning.py) at FULL main-table quality (m=320) — the
+    nlist/n_probes work reduction the coarse-table hierarchy of
+    PQCodesIndex cannot reach (its whole-N coarse scan ceilings at the
+    coarse table's ordering quality; measured pool overlap 0.25-0.84),
+  - exact-f32 refinement by block regeneration (models/pq_codes.py:
+    refine_blocked — one device program with a traceable generator).
+
+Overflow rows stay findable for EVERY query via a full chunk-min ADC scan
+of the (shuffled) overflow segment — the same discipline as the binned
+int8 IVF path.
+
+Device cost per row ~ ceil(m/2) * lpad_fill_factor + 4 B (slot->id) —
+about 200-230 B/row at the flagship m=320 config, 10M rows in ~2.2 GB.
+
+Parity anchors: IVFIndex::knn_with_ef (ivf_index.rs:143-154, ef =
+n_probes), FlatIndex::knn_pq rerank contract (flat_index.rs:84-104).
+"""
+
+from __future__ import annotations
+
+from functools import partial as _partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import distance as D
+from ..ops import kmeans as KM
+from ..ops import pq as P
+from ..ops import topk as T
+from ..ops import binning as BN
+from ..utils.config import PQConfig
+from .pq_table import PQTable
+from .ivf import _build_posting, _sorted_layout
+from .pq_codes import _pack_scatter_jit, refine_blocked
+
+_BLOCK = 131072
+_BLOCKPAD = 512  # overflow segment padded to the chunk-min tile multiple
+
+
+class IVFPQIndex:
+    """Codes-resident IVF-PQ (see module docstring)."""
+
+    def __init__(self, pq: PQTable, centroids: np.ndarray, n: int, dim: int,
+                 dist: str, lpad: int, lens: np.ndarray, ov_count: int,
+                 fill=None, traced_gen=None, block_rows: int = _BLOCK):
+        self.pq = pq
+        self.centroids = np.asarray(centroids, np.float32)
+        self.nlist = self.centroids.shape[0]
+        self.n = int(n)
+        self.dim = int(dim)
+        self.dist = dist
+        self.lpad = int(lpad)
+        self.lens = np.asarray(lens, np.int32)  # valid rows per list (<= lpad)
+        self.ov_count = int(ov_count)
+        self._fill = fill
+        self._gen = traced_gen
+        self._block_rows = int(block_rows)
+        # device state
+        self._codes: jax.Array | None = None  # (slots, cw) uint8 sorted
+        self._slot_id: jax.Array | None = None  # (slots,) int32 slot -> orig
+        self._lens_dev: jax.Array | None = None
+        self._dev_centroids: jax.Array | None = None
+        self._cb_sq: jax.Array | None = None
+
+    # ---- build ----
+    @classmethod
+    def build_from_fill(
+        cls,
+        fill,
+        n: int,
+        dim: int,
+        dist: str,
+        nlist: int = 1024,
+        pq_config: PQConfig | None = None,
+        sample_rows: int = 25_000,
+        seed: int = 0,
+        block_rows: int = _BLOCK,
+        traced_gen=None,
+        progress=None,
+    ) -> "IVFPQIndex":
+        """Two passes over `fill` (the sorted-mirror ingest discipline,
+        models/ivf.py:from_device_blocks(mirror="sorted")): pass A assigns
+        every row to its nearest coarse centroid (slots depend on the full
+        posting layout), pass B encodes each block and scatters packed code
+        rows straight into cluster-sorted slots."""
+        if pq_config is None:
+            pq_config = PQConfig(n_bits=4, m=320, dist=dist,
+                                 k_means_size=sample_rows)
+        if pq_config.n_bits != 4:
+            raise ValueError("the IVF-PQ tier serves 4-bit (packed) tables")
+
+        # train main PQ on a strided multi-block sample
+        n_blocks = -(-n // block_rows)
+        sample_blocks = sorted(set(
+            int(b) for b in np.linspace(0, n_blocks - 1, min(8, n_blocks))))
+        per = -(-sample_rows // len(sample_blocks))
+        parts = []
+        for b in sample_blocks:
+            row0 = b * block_rows
+            rows = min(block_rows, n - row0)
+            v = fill(row0, rows)
+            step = max(1, rows // per)
+            parts.append(v[::step][:per])
+            del v
+        sample = jnp.concatenate(parts, axis=0)[:sample_rows]
+        del parts
+        pq = PQTable.train(sample, pq_config, seed=seed)
+
+        # coarse centroids on the same sample
+        centroids_dev = KM.kmeans_fit(
+            jax.random.PRNGKey(seed + 2), sample, jnp.int32(sample.shape[0]),
+            nlist, 10, 1e-4, dist,
+        )
+        del sample
+
+        # pass A: assignment
+        assign = np.empty(n, np.int32)
+        for row0 in range(0, n, block_rows):
+            rows = min(block_rows, n - row0)
+            v = fill(row0, rows)
+            assign[row0:row0 + rows] = np.asarray(
+                KM.find_nearest(v, centroids_dev, dist))
+            del v
+            if progress is not None:
+                progress(min(row0 + rows, n) // 2)
+
+        posting, counts = _build_posting(assign, nlist)
+        # cap at the .98 quantile (not the binned-int8 path's .9): an
+        # overflow row is scanned by EVERY query (B columns) where a padded
+        # list row costs only its bin's qb columns — at qb=32/B=1000 the
+        # spill is ~32x costlier per row than the padding it avoids
+        lpad, perm_pad, ov_h = _sorted_layout(posting, counts, nlist,
+                                              cap_quantile=0.98)
+        kl = nlist * lpad
+        # overflow rows are chunk-min scanned by every query: shuffle them
+        # so storage order is de-clustered (they arrive in posting order)
+        ov_h = np.asarray(ov_h, np.int32)
+        np.random.default_rng(seed ^ 0x0F10).shuffle(ov_h)
+        ov_pad = -(-max(len(ov_h), 1) // _BLOCKPAD) * _BLOCKPAD
+        slots_total = kl + ov_pad
+        slot_id = np.full(slots_total, -1, np.int32)
+        slot_id[:kl] = perm_pad
+        slot_id[kl:kl + len(ov_h)] = ov_h
+        # pad slots get filler ids so device gathers stay in range
+        pad_slots = np.flatnonzero(slot_id < 0)
+        slot_id[pad_slots] = 0
+        # invert: slot of each original row
+        inv = np.empty(n, np.int32)
+        valid_slots = np.flatnonzero(
+            np.concatenate([perm_pad >= 0, np.ones(len(ov_h), bool),
+                            np.zeros(ov_pad - len(ov_h), bool)]))
+        ids_of_valid = np.concatenate([perm_pad[perm_pad >= 0], ov_h])
+        inv[ids_of_valid] = valid_slots
+        inv_dev = jnp.asarray(inv)
+
+        self = cls(pq, np.asarray(centroids_dev), n, dim, dist, lpad,
+                   np.minimum(counts, lpad), len(ov_h), fill=fill,
+                   traced_gen=traced_gen, block_rows=block_rows)
+
+        m = pq.config.m
+        codes = jnp.zeros((slots_total, (m + 1) // 2), jnp.uint8)
+        gidx, gmask = jnp.asarray(pq._gidx), jnp.asarray(pq._gmask)
+        cb = jnp.asarray(pq.codebooks)
+        for row0 in range(0, n, block_rows):
+            rows = min(block_rows, n - row0)
+            v = fill(row0, rows)
+            inv_rows = jax.lax.dynamic_slice(inv_dev, (row0,), (rows,))
+            codes = _pack_scatter_jit(
+                codes, pq._transform_dev(v), inv_rows, gidx, gmask, cb, dist)
+            del v
+            if progress is not None:
+                progress((n + min(row0 + rows, n)) // 2)
+        jax.block_until_ready(codes)
+        self._codes = codes
+        self._slot_id = jnp.asarray(slot_id)
+        return self
+
+    def __len__(self) -> int:
+        return self.n
+
+    def index_bytes(self) -> int:
+        total = self.pq.device_bytes()
+        for a in (self._codes, self._slot_id, self._lens_dev,
+                  self._dev_centroids, self._cb_sq):
+            if a is not None:
+                total += int(a.nbytes)
+        return total
+
+    def _device(self):
+        if self._dev_centroids is None:
+            self._dev_centroids = jnp.asarray(self.centroids)
+            self._lens_dev = jnp.asarray(self.lens)
+            self._cb_sq = P.centroid_sqnorm_cache(jnp.asarray(self.pq.codebooks))
+        return self._dev_centroids, self._lens_dev, self._cb_sq
+
+    # ---- search ----
+    def _search_fused(self, q_dev, k, n_probes, ef, qb, chunk):
+        """Whole search as ONE device program.  The unfused path issues
+        ~15 jitted calls per batch; under the axon tunnel each dispatch
+        costs milliseconds of host time, which dominated the measured
+        latency (0.30 ms/q at 500k where the kernel math is ~2 ms/batch).
+        Requires the traced generator and an unrotated main table."""
+        draw, params, key = self._gen
+        centroids, lens_dev, cb_sq = self._device()
+        B = q_dev.shape[0]
+        nb = -(-self.n // self._block_rows)
+        kk = min(k, ef)
+        S = min(-(-B * ef // 512) * 512,
+                max(1024, -(-2 * B * ef // nb) // 512 * 512 + 512))
+        return _ivfpq_search_jit(
+            q_dev, centroids, self._codes, self._slot_id, lens_dev, cb_sq,
+            jnp.asarray(self.pq._gidx), jnp.asarray(self.pq._gmask),
+            jnp.asarray(self.pq.codebooks), params, key,
+            k=kk, n_probes=n_probes, ef=ef, qb=qb, chunk=chunk,
+            dist=self.dist, lpad=self.lpad, ov_count=self.ov_count,
+            n=self.n, nlist=self.nlist, block_rows=self._block_rows,
+            nb=nb, S=S, draw=draw,
+        )
+
+    def _auto_qb(self, B: int, n_probes: int) -> int:
+        """Bin width sized so overflow drops are rare: ~2x the mean
+        per-list load, 32-aligned (the 500k smoke ran qb=64 at a mean load
+        of 125 — half of every query's probes silently dropped)."""
+        mean = B * n_probes / self.nlist
+        return int(min(512, max(32, -(-2 * mean // 32) * 32)))
+
+    def knn_batch(self, queries, k: int, n_probes: int = 32, ef: int = 200,
+                  qb: int | None = None, chunk: int = 32,
+                  interpret: bool = False):
+        """(B, dim) queries -> ((B, k) exact-f32 dists ascending, (B, k)
+        int32 ids, -1 where missing).  `n_probes` follows the reference's
+        ef-as-n_probes convention (ivf_index.rs:137-142)."""
+        q_dev = queries if isinstance(queries, jax.Array) else jnp.asarray(
+            np.atleast_2d(np.asarray(queries, np.float32)))
+        B = q_dev.shape[0]
+        n_probes = min(n_probes, self.nlist)
+        kk = min(k, ef)
+        if qb is None:
+            qb = self._auto_qb(B, n_probes)
+        if (self._gen is not None and self.pq.rotation is None
+                and not interpret):
+            td, ti = self._search_fused(q_dev, k, n_probes, ef, qb, chunk)
+            if kk < k:
+                td = jnp.pad(td, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+                ti = jnp.pad(ti, ((0, 0), (0, k - kk)), constant_values=-1)
+            return td, ti
+
+        centroids, lens_dev, cb_sq = self._device()
+        lookup, q_norms = self.pq.create_lookup(q_dev)
+        td1, ti1 = _search_candidates(
+            q_dev, lookup, q_norms, centroids, self._codes, self._slot_id,
+            lens_dev, cb_sq, k=kk, n_probes=n_probes, ef=ef, qb=qb,
+            chunk=chunk, dist=self.dist, lpad=self.lpad,
+            ov_count=self.ov_count, nlist=self.nlist, interpret=interpret,
+        )
+        d_ex = refine_blocked(self._gen, self._fill, self._block_rows, self.n,
+                              self.dim, self.dist, q_dev, ti1)
+        if d_ex is None:
+            d_ex = td1
+        td, ti = T.topk_smallest(jnp.asarray(d_ex), ti1, kk)
+        ti = jnp.where(jnp.isfinite(td), ti, -1)
+        if kk < k:
+            td = jnp.pad(td, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+            ti = jnp.pad(ti, ((0, 0), (0, k - kk)), constant_values=-1)
+        return td, ti
+
+
+def _search_candidates(q, lookup, q_norms, centroids, codes, slot_id, lens_dev,
+                       cb_sq, *, k, n_probes, ef, qb, chunk, dist, lpad,
+                       ov_count, nlist, interpret):
+    """Steps 1-6 of the IVF-PQ search (probe -> bin -> binned ADC ->
+    survivor gather -> overflow -> top-ef).  Pure jax; traced either
+    standalone (unfused path) or inside the fused program."""
+    from ..ops import pallas_adc as PA
+
+    B = q.shape[0]
+    # 1. probe selection: exact centroid distances
+    d_c = D.pairwise(q.astype(jnp.float32), centroids, dist)
+    _, probe = T.topk_smallest(
+        d_c, jnp.broadcast_to(jnp.arange(nlist, dtype=jnp.int32)[None],
+                              d_c.shape), n_probes)
+
+    # 2. invert to per-list query bins
+    bins, slots = BN.bin_queries(probe, nlist, qb)
+
+    # 3. binned ADC over probed lists (full main-table quality).  `chunk`
+    # trades survivor density for selection width: a true neighbor must win
+    # its chunk within ITS list under ADC ordering — at the flagship m=320
+    # quality chunk=32 is lossless in practice; weak tables (low
+    # adc_quality) should shrink it.
+    outd, outi = PA.adc_chunkmin_binned(
+        lookup, codes, lens_dev, bins, cb_sq, q_norms, dist,
+        packed=True, lpad=lpad, chunk=chunk, interpret=interpret,
+    )
+    SL = outd.shape[1]  # survivors per list
+
+    # 4. per-query survivor gather from its probes' (list, slot) columns.
+    # ROW-gather formulation: transpose survivors to (nlist*QB, SL) so each
+    # (probe, slot) pair pulls one contiguous SL-row — the direct
+    # outd[probe, :, slot] advanced indexing lowers to B*p*SL SCALAR
+    # gathers (~45 ms at 500k/p=32, 3x the binned kernel itself).
+    outd_t = jnp.swapaxes(outd, 1, 2).reshape(nlist * qb, SL)
+    outi_t = jnp.swapaxes(outi, 1, 2).reshape(nlist * qb, SL)
+    row_idx = jnp.where(slots >= 0, probe * qb + slots, 0)  # (B, p)
+    d_cand = outd_t[row_idx].reshape(B, n_probes * SL)
+    slot_cand = outi_t[row_idx].reshape(B, n_probes * SL)
+    dropped = slots < 0  # bin overflow: this probe contributed nothing
+    d_cand = jnp.where(
+        jnp.broadcast_to(dropped[:, :, None], (B, n_probes, SL)).reshape(
+            B, n_probes * SL),
+        jnp.inf, d_cand)
+    ids_cand = slot_id[jnp.clip(slot_cand, 0, slot_id.shape[0] - 1)]
+    ids_cand = jnp.where(jnp.isfinite(d_cand), ids_cand, -1)
+
+    # 5. overflow segment: chunk-min ADC scanned by every query
+    if ov_count > 0:
+        kl = nlist * lpad
+        ov_codes = codes[kl:]
+        ov_perm = slot_id[kl:]
+        k_ov = min(max(k, 32), max(ov_count // 4, 1))
+        d_ov, i_ov = PA.adc_scan_chunkmin(
+            lookup, ov_codes, ov_perm, jnp.int32(ov_count), cb_sq,
+            q_norms, k_ov, dist, packed=True,
+            chunk=8 if ov_count < 32 * 8 * k_ov else 32,
+            interpret=interpret,
+        )
+        d_cand = jnp.concatenate([d_cand, d_ov], axis=1)
+        ids_cand = jnp.concatenate([ids_cand, i_ov], axis=1)
+
+    # 6. top-ef by ADC distance.  Stage-1 ordering feeds the exact refine,
+    # so wide pools take approx_min_k at recall_target .95 (the rt=1.0 form
+    # degenerates to a full sort path, measured 119 ms at 1e5 width).
+    kk = min(ef, d_cand.shape[1])
+    if d_cand.shape[1] > 4 * kk:
+        td, pos = jax.lax.approx_min_k(d_cand, kk, recall_target=0.95)
+        return td, jnp.take_along_axis(ids_cand, pos, axis=-1)
+    return T.topk_smallest(d_cand, ids_cand, kk)
+
+
+@_partial(jax.jit, static_argnames=(
+    "k", "n_probes", "ef", "qb", "chunk", "dist", "lpad", "ov_count", "n",
+    "nlist", "block_rows", "nb", "S", "draw"))
+def _ivfpq_search_jit(q, centroids, codes, slot_id, lens_dev, cb_sq, gidx,
+                      gmask, cbooks, params, key, *, k, n_probes, ef, qb,
+                      chunk, dist, lpad, ov_count, n, nlist, block_rows, nb,
+                      S, draw):
+    """The whole IVF-PQ search as one device program: lookup build +
+    candidates + single-program exact refine (the traced branch of
+    refine_blocked, inlined so the refine's sort/searchsorted stay on
+    device) + final exact top-k."""
+    from .pq_codes import _refine_traced_jit
+
+    B = q.shape[0]
+    qf = q.astype(jnp.float32)
+    qg = P.regroup(qf, gidx, gmask)
+    lookup = P.build_lookup(qg, cbooks, dist)
+    if dist == "cosine":
+        q_norms = jnp.sqrt(jnp.sum(qf * qf, axis=-1))
+    else:
+        q_norms = jnp.zeros(B, jnp.float32)
+
+    td1, ti1 = _search_candidates(
+        qf, lookup, q_norms, centroids, codes, slot_id, lens_dev, cb_sq,
+        k=k, n_probes=n_probes, ef=ef, qb=qb, chunk=chunk, dist=dist,
+        lpad=lpad, ov_count=ov_count, nlist=nlist, interpret=False,
+    )
+    ef_eff = ti1.shape[1]
+
+    # inline traced refine (see pq_codes.refine_blocked)
+    flat = ti1.reshape(-1)
+    flat_sortable = jnp.where(flat >= 0, flat, jnp.int32(2**30))
+    order = jnp.argsort(flat_sortable)
+    sorted_ids = jnp.pad(flat_sortable[order], (0, S),
+                         constant_values=jnp.int32(2**30))
+    qidx = jnp.pad(
+        (jnp.arange(B * ef_eff, dtype=jnp.int32) // ef_eff)[order], (0, S))
+    starts = jnp.searchsorted(
+        sorted_ids[: B * ef_eff],
+        jnp.arange(nb, dtype=jnp.int32) * block_rows,
+    ).astype(jnp.int32)
+    d_sorted = _refine_traced_jit(
+        params, key, sorted_ids, qidx, starts, qf,
+        dim=q.shape[1], block_rows=block_rows, n_blocks=nb, S=S,
+        cos=dist == "cosine", draw=draw,
+    )
+    d_ex = jnp.full((B * ef_eff,), jnp.inf, jnp.float32).at[order].set(
+        d_sorted).reshape(B, ef_eff)
+    td, ti = T.topk_smallest(d_ex, ti1, k)
+    return td, jnp.where(jnp.isfinite(td), ti, -1)
+

@@ -50,11 +50,13 @@ from .pq_table import PQTable
 _BLOCK = 131072
 
 
-@partial(jax.jit, static_argnames=("dist",))
+@partial(jax.jit, static_argnames=("dist",), donate_argnums=(0,))
 def _pack_scatter_jit(dev_codes, block_f32, inv_rows, gidx, gmask, cb, dist):
     """Encode one f32 block (already in the table's training space) and
     scatter its PACKED code rows to permuted slots.
-    dev_codes: (cap, ceil(m/2)) uint8; inv_rows: (rows,) int32 slots."""
+    dev_codes: (cap, ceil(m/2)) uint8, DONATED so the 77-block ingest loop
+    updates in place instead of copying the whole table per block (1.6 GB
+    at 10M); inv_rows: (rows,) int32 slots."""
     grouped = P.regroup(block_f32, gidx, gmask)
     codes = P.encode(grouped, cb, dist)  # (rows, m) uint8
     if codes.shape[1] % 2:
@@ -236,60 +238,10 @@ class PQCodesIndex:
 
     # ---- search ----
     def _refine(self, q_dev, ids):
-        """Exact f32 distances for a (B, ef) id set via block regeneration,
-        or None when no exact source exists (ADC distances then stand)."""
-        B, ef = ids.shape
-        if self._gen is not None:
-            draw, params, key = self._gen
-            nb = -(-self.n // self._block_rows)
-            S = max(1024, -(-4 * B * ef // nb) // 512 * 512 + 512)
-            flat = ids.reshape(-1)
-            # -1 (invalid) sorts FIRST as int32; map to a huge sentinel so
-            # invalids sort LAST and never match a block (the sentinel must
-            # STAY in sorted_ids — replacing it post-sort breaks the
-            # monotonicity searchsorted needs)
-            flat_sortable = jnp.where(flat >= 0, flat, jnp.int32(2**30))
-            order = jnp.argsort(flat_sortable)
-            sorted_ids = jnp.pad(flat_sortable[order], (0, S),
-                                 constant_values=jnp.int32(2**30))
-            qidx = jnp.pad(
-                (jnp.arange(B * ef, dtype=jnp.int32) // ef)[order], (0, S))
-            starts = jnp.searchsorted(
-                sorted_ids[: B * ef],
-                jnp.arange(nb, dtype=jnp.int32) * self._block_rows,
-            ).astype(jnp.int32)
-            d_sorted = _refine_traced_jit(
-                params, key, sorted_ids, qidx, starts, q_dev,
-                dim=self.dim, block_rows=self._block_rows, n_blocks=nb, S=S,
-                cos=self.dist == "cosine", draw=draw,
-            )
-            d = jnp.full((B * ef,), jnp.inf, jnp.float32).at[order].set(d_sorted)
-            return d.reshape(B, ef)
-        if self._fill is None:
-            return None
-        ids_h = np.asarray(ids)
-        flat = ids_h.ravel()
-        valid = flat >= 0
-        br = self._block_rows
-        out = jnp.zeros((flat.shape[0], self.dim), jnp.float32)
-        for b in np.unique(flat[valid] // br):
-            row0 = int(b) * br
-            rows = min(br, self.n - row0)
-            v = self._fill(row0, rows)
-            sel = np.nonzero(valid & (flat >= row0) & (flat < row0 + rows))[0]
-            out = out.at[jnp.asarray(sel, np.int32)].set(
-                v[jnp.asarray(flat[sel] - row0, np.int32)])
-            del v
-        rows3 = out.reshape(B, ef, self.dim)
-        if self.dist == "cosine":
-            qn = jnp.sqrt(jnp.sum(q_dev * q_dev, axis=-1, keepdims=True))
-            rn = jnp.sqrt(jnp.sum(rows3 * rows3, axis=-1))
-            dots = jnp.einsum("bd,bed->be", q_dev, rows3)
-            d = 1.0 - dots / jnp.maximum(qn * rn, 1e-10)
-        else:
-            diff = rows3 - q_dev[:, None, :]
-            d = jnp.sum(diff * diff, axis=-1)
-        return jnp.where(jnp.asarray(ids_h) >= 0, d, jnp.inf)
+        return refine_blocked(
+            self._gen, self._fill, self._block_rows, self.n, self.dim,
+            self.dist, q_dev, ids,
+        )
 
     def knn_batch(self, queries, k: int, ef: int = 200, c0: int = 2048,
                   interpret: bool = False):
@@ -338,3 +290,66 @@ class PQCodesIndex:
             td = jnp.pad(td, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
             ti = jnp.pad(ti, ((0, 0), (0, k - kk)), constant_values=-1)
         return td, ti
+
+
+def refine_blocked(gen, fill, block_rows, n, dim, dist, q_dev, ids):
+    """Exact f32 distances for a (B, ef) id set via block regeneration,
+    or None when no exact source exists (ADC distances then stand).
+
+    Shared by the codes tier and the IVF-PQ tier: `gen` = (draw, params,
+    key) jit-traceable generator for the single-program path, else `fill`
+    host block source, else None."""
+    B, ef = ids.shape
+    if gen is not None:
+        draw, params, key = gen
+        nb = -(-n // block_rows)
+        # 2x the mean per-block load covers iid-candidate skew; clamp at
+        # the total so few-block regimes don't gather the world
+        S = min(-(-B * ef // 512) * 512,
+                max(1024, -(-2 * B * ef // nb) // 512 * 512 + 512))
+        flat = ids.reshape(-1)
+        # -1 (invalid) sorts FIRST as int32; map to a huge sentinel so
+        # invalids sort LAST and never match a block (the sentinel must
+        # STAY in sorted_ids — replacing it post-sort breaks the
+        # monotonicity searchsorted needs)
+        flat_sortable = jnp.where(flat >= 0, flat, jnp.int32(2**30))
+        order = jnp.argsort(flat_sortable)
+        sorted_ids = jnp.pad(flat_sortable[order], (0, S),
+                             constant_values=jnp.int32(2**30))
+        qidx = jnp.pad(
+            (jnp.arange(B * ef, dtype=jnp.int32) // ef)[order], (0, S))
+        starts = jnp.searchsorted(
+            sorted_ids[: B * ef],
+            jnp.arange(nb, dtype=jnp.int32) * block_rows,
+        ).astype(jnp.int32)
+        d_sorted = _refine_traced_jit(
+            params, key, sorted_ids, qidx, starts, q_dev,
+            dim=dim, block_rows=block_rows, n_blocks=nb, S=S,
+            cos=dist == "cosine", draw=draw,
+        )
+        d = jnp.full((B * ef,), jnp.inf, jnp.float32).at[order].set(d_sorted)
+        return d.reshape(B, ef)
+    if fill is None:
+        return None
+    ids_h = np.asarray(ids)
+    flat = ids_h.ravel()
+    valid = flat >= 0
+    out = jnp.zeros((flat.shape[0], dim), jnp.float32)
+    for b in np.unique(flat[valid] // block_rows):
+        row0 = int(b) * block_rows
+        rows = min(block_rows, n - row0)
+        v = fill(row0, rows)
+        sel = np.nonzero(valid & (flat >= row0) & (flat < row0 + rows))[0]
+        out = out.at[jnp.asarray(sel, np.int32)].set(
+            v[jnp.asarray(flat[sel] - row0, np.int32)])
+        del v
+    rows3 = out.reshape(B, ef, dim)
+    if dist == "cosine":
+        qn = jnp.sqrt(jnp.sum(q_dev * q_dev, axis=-1, keepdims=True))
+        rn = jnp.sqrt(jnp.sum(rows3 * rows3, axis=-1))
+        dots = jnp.einsum("bd,bed->be", q_dev, rows3)
+        d = 1.0 - dots / jnp.maximum(qn * rn, 1e-10)
+    else:
+        diff = rows3 - q_dev[:, None, :]
+        d = jnp.sum(diff * diff, axis=-1)
+    return jnp.where(jnp.asarray(ids_h) >= 0, d, jnp.inf)

@@ -315,6 +315,18 @@ def adc_sums(
 _CHUNK = 32  # base rows per surviving candidate
 
 
+def _prep_lut_quant(lut_p: jax.Array, lut_dtype: str):
+    """(W, r_pad) f32 contraction-major LUT -> (lut_q, per-column scales,
+    one-hot dtype) for the requested stage-1 precision."""
+    if lut_dtype == "int8":
+        scales = jnp.max(jnp.abs(lut_p), axis=0) / 127.0
+        scales = jnp.where(scales > 0, scales, 1.0)
+        return (jnp.round(lut_p / scales[None, :]).astype(jnp.int8),
+                scales, jnp.int8)
+    oh_dtype = jnp.float32 if lut_dtype == "f32" else jnp.bfloat16
+    return lut_p.astype(oh_dtype), jnp.ones((lut_p.shape[1],), jnp.float32), oh_dtype
+
+
 def _adc_chunkmin_kernel(
     nvalid_ref, codes_ref, col_ref, lut_ref, aux_ref, cs_ref,
     outd_ref, outi_ref, *, k: int, packed: bool, oh_dtype, dist: str, chunk: int,
@@ -431,26 +443,16 @@ def adc_scan_chunkmin(
     lut_p = _v2_lut_layout(lookup, packed, m_eff, r_pad)
 
     cos = dist == "cosine"
+    lut_q, scales, oh_dtype = _prep_lut_quant(lut_p, lut_dtype)
+    cs_scale = jnp.float32(1.0)
     if cos:
         cs_full = _v2_lut_layout(cb_sqnorm[None], packed, m_eff, 128)  # (W, 128)
-    if lut_dtype == "int8":
-        scales = jnp.max(jnp.abs(lut_p), axis=0) / 127.0
-        scales = jnp.where(scales > 0, scales, 1.0)
-        lut_q = jnp.round(lut_p / scales[None, :]).astype(jnp.int8)
-        oh_dtype = jnp.int8
-        if cos:
+        if lut_dtype == "int8":
             cs_scale = jnp.maximum(jnp.max(jnp.abs(cs_full)) / 127.0, 1e-30)
             cs_q = jnp.round(cs_full / cs_scale).astype(jnp.int8)
         else:
-            cs_scale = jnp.float32(1.0)
-    else:
-        oh_dtype = jnp.float32 if lut_dtype == "f32" else jnp.bfloat16
-        lut_q = lut_p.astype(oh_dtype)
-        scales = jnp.ones((r_pad,), jnp.float32)
-        cs_scale = jnp.float32(1.0)
-        if cos:
             cs_q = cs_full.astype(oh_dtype)
-    if not cos:
+    else:
         cs_q = jnp.zeros((8, 128), oh_dtype)
 
     qn = jnp.zeros((r_pad,), jnp.float32).at[:B].set(q_norms)
@@ -505,6 +507,173 @@ def adc_scan_chunkmin(
         td = jnp.pad(td, ((0, 0), (0, k_out - kk)), constant_values=jnp.inf)
         ids = jnp.pad(ids, ((0, 0), (0, k_out - kk)), constant_values=-1)
     return td, ids
+
+
+# ---- binned chunk-min ADC (IVF-PQ: probed lists only, full-m quality) ----
+
+_NT_BIN = 512  # list rows per grid step (lpad is a multiple, _LPAD_MULT)
+
+
+def _adc_chunkmin_binned_kernel(
+    codes_ref, col_ref, lut_ref, aux_ref, cs_ref,
+    outd_ref, outi_ref, *, k: int, packed: bool, oh_dtype, dist: str,
+    chunk: int, lpad: int,
+):
+    """One (list, list-tile) -> (NT/chunk, QB) chunk-min survivors.
+
+    The IVF inversion of the full-scan kernel: grid dim 0 walks posting
+    lists (codes cluster-sorted, one contiguous lpad-row segment per list),
+    and the resident LUT block holds ONLY the QB queries binned to this
+    list (ops/binning.py) — each code row is scored against the queries
+    that probe its list instead of the whole batch, which is where the
+    nlist/n_probes work reduction comes from.
+
+    lut_ref: (1, W, QB); aux_ref: (1, 8, QB) rows [0]=dequant scale,
+    [1]=query norm, [2][0]=centroid-column scale, [3][0]=this list's valid
+    row count as f32 (exact to 2^24; a per-list SMEM scalar input is not
+    expressible — rank-1/rank-2 sub-(8,128) blocks fail Mosaic's block
+    mapping rules, so the scalar rides the aux VMEM block); outd/outi:
+    (1, NT/chunk, QB), outi = GLOBAL slot index (list_base + row) for
+    post-hoc id decode."""
+    l = pl.program_id(0)
+    t = pl.program_id(1)
+    NT = codes_ref.shape[0]
+    QB = lut_ref.shape[2]
+    codes = codes_ref[:]
+    if packed:
+        codes_u = jnp.concatenate([codes & 0xF, (codes >> 4) & 0xF], axis=1)
+    else:
+        codes_u = codes
+    rep = pltpu.repeat(codes_u, k, axis=1)
+    oh = (rep == col_ref[:1]).astype(oh_dtype)
+    acc_t = jnp.int32 if oh_dtype == jnp.int8 else jnp.float32
+    acc = jax.lax.dot_general(
+        oh, lut_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=acc_t
+    )
+    d = acc.astype(jnp.float32) * aux_ref[0, 0:1]
+    if dist == "cosine":
+        cs_acc = jax.lax.dot_general(
+            oh, cs_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc_t
+        )
+        c_sq = cs_acc[:, :1].astype(jnp.float32) * aux_ref[0, 2:3, :1]
+        norm0 = jnp.sqrt(jnp.maximum(c_sq, 0.0))
+        d = 1.0 - d / jnp.maximum(norm0 * aux_ref[0, 1:2], 1e-10)
+    row_in_list = jax.lax.broadcasted_iota(jnp.int32, (NT, 1), 0) + t * NT
+    d = jnp.where(row_in_list.astype(jnp.float32) < aux_ref[0, 3:4, :1], d,
+                  jnp.inf)
+
+    mins, args = [], []
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, QB), 0)
+    base = l * lpad + t * NT
+    for s in range(NT // chunk):
+        seg = d[s * chunk : (s + 1) * chunk, :]
+        mn = jnp.min(seg, axis=0, keepdims=True)
+        a = jnp.min(
+            jnp.where(seg == mn, rows, jnp.int32(2**30)), axis=0, keepdims=True
+        )
+        mins.append(mn)
+        args.append(base + s * chunk + a)
+    outd_ref[0] = jnp.concatenate(mins, axis=0)
+    outi_ref[0] = jnp.concatenate(args, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dist", "packed", "lut_dtype", "chunk", "lpad", "interpret"),
+)
+def adc_chunkmin_binned(
+    lookup: jax.Array,  # (B, m, k) f32 per-query LUT
+    codes_sorted: jax.Array,  # (>= nlist*lpad, cw) cluster-sorted codes
+    lens: jax.Array,  # (nlist,) int32 valid rows per list
+    bins: jax.Array,  # (nlist, QB) int32 query ids, -1 padded
+    cb_sqnorm: jax.Array,  # (m, k) f32
+    q_norms: jax.Array,  # (B,)
+    dist: str,
+    packed: bool = False,
+    lut_dtype: str = "int8",
+    chunk: int = _CHUNK,
+    lpad: int = 0,
+    interpret: bool = False,
+):
+    """Chunk-min ADC over probed posting lists -> per-(list, bin-slot)
+    survivors.
+
+    Returns (outd, outi): (nlist, lpad//chunk, QB) f32 survivor distances
+    and int32 GLOBAL SLOT indices (caller decodes slot -> original id and
+    gathers each query's survivors from its probes' (list, slot) columns).
+    Bin columns with no query (-1) compute against a zero LUT and are
+    discarded by the caller's slot mask."""
+    nlist, QB = bins.shape
+    B, m, k = lookup.shape
+    cw = codes_sorted.shape[1]
+    m_eff = 2 * cw if packed else cw
+    W = m_eff * k
+    NT = _NT_BIN
+    assert lpad % NT == 0 and lpad % chunk == 0
+
+    col = jnp.broadcast_to((jnp.arange(W, dtype=jnp.int32) // m_eff)[None, :], (8, W))
+    lut_p = _v2_lut_layout(lookup, packed, m_eff, B)  # (W, B)
+    lut_q, scales, oh_dtype = _prep_lut_quant(lut_p, lut_dtype)
+    cos = dist == "cosine"
+    cs_scale = jnp.float32(1.0)
+    if cos:
+        cs_full = _v2_lut_layout(cb_sqnorm[None], packed, m_eff, 128)
+        if lut_dtype == "int8":
+            cs_scale = jnp.maximum(jnp.max(jnp.abs(cs_full)) / 127.0, 1e-30)
+            cs_q = jnp.round(cs_full / cs_scale).astype(jnp.int8)
+        else:
+            cs_q = cs_full.astype(oh_dtype)
+    else:
+        cs_q = jnp.zeros((8, 128), oh_dtype)
+
+    safe = jnp.maximum(bins, 0)
+    # per-list LUT columns: (W, nlist, QB) gather -> (nlist, W, QB)
+    lut_binned = jnp.transpose(lut_q[:, safe], (1, 0, 2))
+    aux = jnp.zeros((nlist, 8, QB), jnp.float32)
+    aux = aux.at[:, 0, :].set(jnp.where(bins >= 0, scales[safe], 1.0))
+    aux = aux.at[:, 1, :].set(q_norms[safe])
+    aux = aux.at[:, 2, 0].set(cs_scale)
+    aux = aux.at[:, 3, 0].set(lens.astype(jnp.float32))
+
+    codes_p = codes_sorted.astype(jnp.int32)
+    need = nlist * lpad
+    if codes_p.shape[0] < need:
+        codes_p = jnp.pad(codes_p, ((0, need - codes_p.shape[0]), (0, 0)))
+    else:
+        codes_p = codes_p[:need]
+
+    kernel = functools.partial(
+        _adc_chunkmin_binned_kernel, k=k, packed=packed, oh_dtype=oh_dtype,
+        dist=dist, chunk=chunk, lpad=lpad,
+    )
+    SB = NT // chunk
+    tiles = lpad // NT
+    cs_w = cs_q.shape[0]
+    outd, outi = pl.pallas_call(
+        kernel,
+        grid=(nlist, tiles),
+        in_specs=[
+            pl.BlockSpec((NT, cw), lambda l, t: (l * (lpad // _NT_BIN) + t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W), lambda l, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, QB), lambda l, t: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, QB), lambda l, t: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cs_w, 128), lambda l, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, SB, QB), lambda l, t: (l, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SB, QB), lambda l, t: (l, t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nlist, lpad // chunk, QB), jnp.float32),
+            jax.ShapeDtypeStruct((nlist, lpad // chunk, QB), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(codes_p, col, lut_binned, aux, cs_q)
+    return outd, outi
 
 
 _IDS_QT = 128  # query-tile width for adc_dists_for_ids

@@ -104,3 +104,44 @@ def test_pq_codes_index_bytes_small():
     idx, _, _ = _build("l2sqr")
     per_row = idx.index_bytes() / N
     assert per_row < 0.3 * DIM * 4  # << f32 rows
+
+
+def test_ivfpq_recall_and_exact_distances():
+    """IVFPQIndex: binned probed-list ADC + overflow scan + exact refine."""
+    from lab_1806_vec_db_tpu.models import IVFPQIndex
+
+    fill, gen3, queries = _gen("l2sqr")
+    idx = IVFPQIndex.build_from_fill(
+        fill, N, DIM, "l2sqr", nlist=32,
+        pq_config=PQConfig(n_bits=4, m=32, dist="l2sqr", k_means_size=4000,
+                           rotate=True),
+        sample_rows=4000, block_rows=BR, traced_gen=gen3,
+    )
+    base = np.concatenate([np.asarray(fill(r, min(BR, N - r)))
+                           for r in range(0, N, BR)])
+    flat = FlatIndex.from_numpy(base, "l2sqr")
+    _, gt = flat.knn_batch(queries, 10, exact=True)
+
+    d, i = idx.knn_batch(queries, 10, n_probes=8, ef=160, qb=32,
+                         chunk=8, interpret=True)
+    d, i = np.asarray(d), np.asarray(i)
+    recall = np.mean([len(set(gt[q]) & set(i[q])) / 10 for q in range(len(queries))])
+    assert recall >= 0.85, recall
+    for q in range(len(queries)):
+        for c in range(10):
+            if i[q, c] < 0:
+                continue
+            true = float(((base[i[q, c]] - queries[q]) ** 2).sum())
+            assert abs(d[q, c] - true) <= 1e-3 + 1e-4 * abs(true)
+        fin = d[q][np.isfinite(d[q])]
+        assert np.all(np.diff(fin) >= -1e-6)
+    # every valid row is findable exactly once across lists + overflow
+    sid = np.asarray(idx._slot_id)
+    kl = idx.nlist * idx.lpad
+    lens = idx.lens
+    seen = []
+    for l in range(idx.nlist):
+        seen.append(sid[l * idx.lpad: l * idx.lpad + lens[l]])
+    seen.append(sid[kl: kl + idx.ov_count])
+    seen = np.concatenate(seen)
+    assert sorted(seen.tolist()) == list(range(N))
