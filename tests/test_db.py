@@ -348,11 +348,27 @@ def test_mesh_opt_in_search(tmp_path, monkeypatch):
     miss = db.search("t", vecs[100].tolist(), 1)
     assert miss[0][0] != {"i": "100"}
 
-    # uint8 tables and HNSW tables are untouched by the opt-in
+    # uint8 tables ride the mirror too (f32-cast rows; the reference's u8
+    # arithmetic is f32-mediated, src/scalar.rs:19-30): results must equal
+    # the single-chip exact-u8 path
+    monkeypatch.delenv("VECDB_TPU_MESH")
     db.create_table_if_not_exists("u", 24, "l2sqr", "uint8")
     db.batch_add("u", np.clip(vecs[:50] * 20 + 100, 0, 255).tolist(),
                  [{"j": str(i)} for i in range(50)])
-    assert len(db.search("u", np.clip(q * 20 + 100, 0, 255).tolist(), 3)) == 3
+    qu = np.clip(q * 20 + 100, 0, 255).tolist()
+    u_base = db.search("u", qu, 3)
+    monkeypatch.setenv("VECDB_TPU_MESH", "8")
+    u_mesh = db.search("u", qu, 3)
+    assert [m for m, _ in u_mesh] == [m for m, _ in u_base]
+    np.testing.assert_allclose([d for _, d in u_mesh], [d for _, d in u_base],
+                               rtol=1e-5, atol=1e-3)
+
+    # HNSW tables route batch/ef searches through the sharded EXACT scan
+    # mirror under the opt-in (VERDICT r3 item 6): results match the
+    # single-chip exact scan of the same rows
     db.build_hnsw_index("t")
-    assert len(db.search("t", q.tolist(), 5, ef=32)) == 5
+    hn = db.search("t", q.tolist(), 5, ef=32)
+    monkeypatch.delenv("VECDB_TPU_MESH")
+    flat_exact = sorted(base, key=lambda md: md[1])
+    assert [m for m, _ in hn] == [m for m, _ in flat_exact[:5]]
     db.close()

@@ -254,9 +254,18 @@ def test_sharded_hnsw_serde_roundtrip(tmp_path, gist_1000):
     idx3 = S.ShardedHNSWIndex.load(p2, mesh, external_base=base)
     _, i3 = idx3.knn_with_ef_batch(queries, 7, ef=24)
     np.testing.assert_array_equal(i1, i3)
-    # topology is per-shard: loading onto a different mesh size must refuse
+    # topology is per-shard and cannot be re-split, so opening on a
+    # DIFFERENT mesh size rebuilds from rows (VERDICT r3 item 6) — same
+    # config + seeds, and at exhaustive ef both placements are exact, so
+    # results agree
+    with pytest.warns(UserWarning, match="rebuild"):
+        idx4 = S.ShardedHNSWIndex.load(p, S.make_mesh(4))
+    d4, i4 = idx4.knn_with_ef_batch(queries, 7, ef=300)
+    dx, ix = idx.knn_with_ef_batch(queries, 7, ef=300)
+    np.testing.assert_array_equal(np.asarray(ix), np.asarray(i4))
+    # without vectors anywhere, a mesh-size change still refuses
     with pytest.raises(ValueError):
-        S.ShardedHNSWIndex.load(p, S.make_mesh(4))
+        S.ShardedHNSWIndex.load(p2, S.make_mesh(4))
 
 
 def test_sharded_hnsw_parallel_build_matches_serial(gist_1000):
