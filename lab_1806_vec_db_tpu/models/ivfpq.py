@@ -120,12 +120,18 @@ class IVFPQIndex:
         del parts
         pq = PQTable.train(sample, pq_config, seed=seed)
 
-        # coarse centroids on the same sample
-        centroids_dev = KM.kmeans_fit(
-            jax.random.PRNGKey(seed + 2), sample, jnp.int32(sample.shape[0]),
-            nlist, 10, 1e-4, dist,
-        )
         del sample
+        # coarse centroids train on a FULL block, not the 25k PQ sample:
+        # at nlist=2048 a 25k sample is ~12 rows/centroid and the noisy
+        # centroids skew list lengths so badly that the .98-quantile lpad
+        # landed at 3.8x the mean (6.2 GB of 77%-padding codes at 10M)
+        n_train = min(block_rows, n)
+        train = fill(0, n_train)
+        centroids_dev = KM.kmeans_fit(
+            jax.random.PRNGKey(seed + 2), train, jnp.int32(n_train),
+            nlist, 12, 1e-4, dist,
+        )
+        del train
 
         # pass A: assignment
         assign = np.empty(n, np.int32)

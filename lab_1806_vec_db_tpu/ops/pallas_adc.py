@@ -173,6 +173,21 @@ def _adc_sums_stepwise(codes, lut_rows, packed, exact, interpret):
     return out[:N, :R]
 
 
+
+
+def _codes_as_i8(codes: jax.Array) -> jax.Array:
+    """View uint8/int code rows as int8 WITHOUT widening: an int32 copy of
+    the codes lane-pads 160 -> 256 under the (8,128) tile (1 KB/row — a
+    36 GiB transient at the 10M layout, the round-4 OOM).  Kernels unpack
+    with sign-safe masks ((b >> 4) & 0xF), so the int8 bit pattern is all
+    they need."""
+    if codes.dtype == jnp.int8:
+        return codes
+    if codes.dtype == jnp.uint8:
+        return jax.lax.bitcast_convert_type(codes, jnp.int8)
+    return codes.astype(jnp.int8)
+
+
 # ---- v2 kernel (k <= 16): one-hot once per base tile, queries resident ----
 
 
@@ -182,8 +197,13 @@ def _adc_kernel_v2(codes_ref, col_ref, lut_ref, out_ref, *, k: int, packed: bool
     unpacked codes (cw = m_eff); col_ref: (8, W) int32, row = lane's code id
     (w // m_eff); lut_ref: (W, BT) contraction-major LUT; out_ref: (NT, BT)
     raw sums in the LUT dtype's accumulator (f32 for f32/bf16, int32-as-f32
-    for int8 — the wrapper applies per-query scales)."""
-    codes = codes_ref[:]
+    for int8 — the wrapper applies per-query scales).
+
+    Code tiles arrive int8 (HBM-lean; an int32 array lane-pads 160->256 =
+    1 KB/row) and widen to int32 HERE, in VMEM, where the copy is one tile:
+    Mosaic cannot legalize the int8 right-shift the nibble unpack needs
+    (arith.shrsi on i8 vectors)."""
+    codes = codes_ref[:].astype(jnp.int32)
     if packed:
         # two 4-bit codes per byte.  Unpacked lane order is
         # [lo nibbles | hi nibbles] = groups [0,2,4,... | 1,3,5,...]; the
@@ -239,7 +259,7 @@ def _adc_sums_v2(codes, lut_rows, packed, lut_dtype, interpret):
     r_tile = min(_BT_MAX, ((R + 127) // 128) * 128)
     r_pad = ((R + r_tile - 1) // r_tile) * r_tile
 
-    codes_p = codes.astype(jnp.int32)
+    codes_p = _codes_as_i8(codes)
     if n_pad != N:
         codes_p = jnp.pad(codes_p, ((0, n_pad - N), (0, 0)))
     col = jnp.broadcast_to(
@@ -342,7 +362,7 @@ def _adc_chunkmin_kernel(
     i = pl.program_id(1)
     NT = codes_ref.shape[0]
     BT = lut_ref.shape[1]
-    codes = codes_ref[:]
+    codes = codes_ref[:].astype(jnp.int32)  # widen in VMEM (see kernel v2)
     if packed:
         codes_u = jnp.concatenate([codes & 0xF, (codes >> 4) & 0xF], axis=1)
     else:
@@ -436,10 +456,12 @@ def adc_scan_chunkmin(
     r_tile = min(_BT_MAX, ((B + 127) // 128) * 128)
     r_pad = ((B + r_tile - 1) // r_tile) * r_tile
 
-    codes_p = codes.astype(jnp.int32)
+    codes_p = _codes_as_i8(codes)
     if n_pad != N:
         codes_p = jnp.pad(codes_p, ((0, n_pad - N), (0, 0)))
-    col = jnp.broadcast_to((jnp.arange(W, dtype=jnp.int32) // m_eff)[None, :], (8, W))
+    col = jnp.broadcast_to(
+        (jnp.arange(W, dtype=jnp.int32) // m_eff)[None, :], (8, W)
+    )
     lut_p = _v2_lut_layout(lookup, packed, m_eff, r_pad)
 
     cos = dist == "cosine"
@@ -539,7 +561,7 @@ def _adc_chunkmin_binned_kernel(
     t = pl.program_id(1)
     NT = codes_ref.shape[0]
     QB = lut_ref.shape[2]
-    codes = codes_ref[:]
+    codes = codes_ref[:].astype(jnp.int32)  # widen in VMEM (see kernel v2)
     if packed:
         codes_u = jnp.concatenate([codes & 0xF, (codes >> 4) & 0xF], axis=1)
     else:
@@ -611,7 +633,9 @@ def adc_chunkmin_binned(
     NT = _NT_BIN
     assert lpad % NT == 0 and lpad % chunk == 0
 
-    col = jnp.broadcast_to((jnp.arange(W, dtype=jnp.int32) // m_eff)[None, :], (8, W))
+    col = jnp.broadcast_to(
+        (jnp.arange(W, dtype=jnp.int32) // m_eff)[None, :], (8, W)
+    )
     lut_p = _v2_lut_layout(lookup, packed, m_eff, B)  # (W, B)
     lut_q, scales, oh_dtype = _prep_lut_quant(lut_p, lut_dtype)
     cos = dist == "cosine"
@@ -635,7 +659,7 @@ def adc_chunkmin_binned(
     aux = aux.at[:, 2, 0].set(cs_scale)
     aux = aux.at[:, 3, 0].set(lens.astype(jnp.float32))
 
-    codes_p = codes_sorted.astype(jnp.int32)
+    codes_p = _codes_as_i8(codes_sorted)
     need = nlist * lpad
     if codes_p.shape[0] < need:
         codes_p = jnp.pad(codes_p, ((0, need - codes_p.shape[0]), (0, 0)))
