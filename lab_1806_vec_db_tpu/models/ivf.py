@@ -84,6 +84,7 @@ def _build_posting(assign: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
 def _sorted_layout(
     posting: np.ndarray, posting_len: np.ndarray, k: int,
     cap_quantile: float = _LCAP_QUANTILE,
+    pad_mult: int = _LPAD_MULT,
 ) -> tuple[int, np.ndarray, np.ndarray]:
     """Cluster-sorted mirror layout for the binned scan.
 
@@ -95,7 +96,7 @@ def _sorted_layout(
     """
     lens = posting_len
     l_q = int(np.quantile(lens, cap_quantile)) if len(lens) else 1
-    lpad = max(_LPAD_MULT, ((l_q + _LPAD_MULT - 1) // _LPAD_MULT) * _LPAD_MULT)
+    lpad = max(pad_mult, ((l_q + pad_mult - 1) // pad_mult) * pad_mult)
     perm_pad = np.full((k * lpad,), -1, dtype=np.int32)
     ov_ids = []
     for l in range(k):

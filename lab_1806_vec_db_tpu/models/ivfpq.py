@@ -51,6 +51,8 @@ _BLOCK = 131072
 _BLOCKPAD = 512  # overflow segment padded to the chunk-min tile multiple
 
 
+
+
 class IVFPQIndex:
     """Codes-resident IVF-PQ (see module docstring)."""
 
@@ -150,7 +152,7 @@ class IVFPQIndex:
         # list row costs only its bin's qb columns — at qb=32/B=1000 the
         # spill is ~32x costlier per row than the padding it avoids
         lpad, perm_pad, ov_h = _sorted_layout(posting, counts, nlist,
-                                              cap_quantile=0.98)
+                                              cap_quantile=0.95)
         kl = nlist * lpad
         # overflow rows are chunk-min scanned by every query: shuffle them
         # so storage order is de-clustered (they arrive in posting order)
@@ -226,7 +228,7 @@ class IVFPQIndex:
         nb = -(-self.n // self._block_rows)
         kk = min(k, ef)
         S = min(-(-B * ef // 512) * 512,
-                max(1024, -(-2 * B * ef // nb) // 512 * 512 + 512))
+                max(1024, -(-3 * B * ef // (2 * nb)) // 512 * 512 + 512))
         return _ivfpq_search_jit(
             q_dev, centroids, self._codes, self._slot_id, lens_dev, cb_sq,
             jnp.asarray(self.pq._gidx), jnp.asarray(self.pq._gmask),
@@ -244,8 +246,8 @@ class IVFPQIndex:
         mean = B * n_probes / self.nlist
         return int(min(512, max(32, -(-2 * mean // 32) * 32)))
 
-    def knn_batch(self, queries, k: int, n_probes: int = 32, ef: int = 200,
-                  qb: int | None = None, chunk: int = 32,
+    def knn_batch(self, queries, k: int, n_probes: int = 48, ef: int = 256,
+                  qb: int | None = None, chunk: int = 16,
                   interpret: bool = False):
         """(B, dim) queries -> ((B, k) exact-f32 dists ascending, (B, k)
         int32 ids, -1 where missing).  `n_probes` follows the reference's
@@ -285,9 +287,9 @@ class IVFPQIndex:
         return td, ti
 
 
-def _search_candidates(q, lookup, q_norms, centroids, codes, slot_id, lens_dev,
-                       cb_sq, *, k, n_probes, ef, qb, chunk, dist, lpad,
-                       ov_count, nlist, interpret):
+def _search_candidates(q, lookup, q_norms, centroids, codes, slot_id,
+                       lens_dev, cb_sq, *, k, n_probes, ef, qb,
+                       chunk, dist, lpad, ov_count, nlist, interpret):
     """Steps 1-6 of the IVF-PQ search (probe -> bin -> binned ADC ->
     survivor gather -> overflow -> top-ef).  Pure jax; traced either
     standalone (unfused path) or inside the fused program."""
@@ -360,10 +362,10 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, slot_id, lens_dev,
 @_partial(jax.jit, static_argnames=(
     "k", "n_probes", "ef", "qb", "chunk", "dist", "lpad", "ov_count", "n",
     "nlist", "block_rows", "nb", "S", "draw"))
-def _ivfpq_search_jit(q, centroids, codes, slot_id, lens_dev, cb_sq, gidx,
-                      gmask, cbooks, params, key, *, k, n_probes, ef, qb,
-                      chunk, dist, lpad, ov_count, n, nlist, block_rows, nb,
-                      S, draw):
+def _ivfpq_search_jit(q, centroids, codes, slot_id, lens_dev,
+                      cb_sq, gidx, gmask, cbooks, params, key, *, k, n_probes,
+                      ef, qb, chunk, dist, lpad, ov_count, n, nlist,
+                      block_rows, nb, S, draw):
     """The whole IVF-PQ search as one device program: lookup build +
     candidates + single-program exact refine (the traced branch of
     refine_blocked, inlined so the refine's sort/searchsorted stay on
@@ -380,8 +382,8 @@ def _ivfpq_search_jit(q, centroids, codes, slot_id, lens_dev, cb_sq, gidx,
         q_norms = jnp.zeros(B, jnp.float32)
 
     td1, ti1 = _search_candidates(
-        qf, lookup, q_norms, centroids, codes, slot_id, lens_dev, cb_sq,
-        k=k, n_probes=n_probes, ef=ef, qb=qb, chunk=chunk, dist=dist,
+        qf, lookup, q_norms, centroids, codes, slot_id, lens_dev,
+        cb_sq, k=k, n_probes=n_probes, ef=ef, qb=qb, chunk=chunk, dist=dist,
         lpad=lpad, ov_count=ov_count, nlist=nlist, interpret=False,
     )
     ef_eff = ti1.shape[1]

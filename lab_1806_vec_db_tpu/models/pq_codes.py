@@ -303,10 +303,12 @@ def refine_blocked(gen, fill, block_rows, n, dim, dist, q_dev, ids):
     if gen is not None:
         draw, params, key = gen
         nb = -(-n // block_rows)
-        # 2x the mean per-block load covers iid-candidate skew; clamp at
-        # the total so few-block regimes don't gather the world
+        # 1.5x the mean per-block load covers iid-candidate skew (mean ~
+        # B*ef/nb with Poisson-ish tails; 1.5x is > +6 sigma at the 10M
+        # shapes); clamp at the total so few-block regimes don't gather the
+        # world
         S = min(-(-B * ef // 512) * 512,
-                max(1024, -(-2 * B * ef // nb) // 512 * 512 + 512))
+                max(1024, -(-3 * B * ef // (2 * nb)) // 512 * 512 + 512))
         flat = ids.reshape(-1)
         # -1 (invalid) sorts FIRST as int32; map to a huge sentinel so
         # invalids sort LAST and never match a block (the sentinel must
