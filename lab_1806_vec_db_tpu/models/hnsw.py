@@ -102,8 +102,10 @@ def _beam0(q, q_cache, vecs, vcache, links0, entry, ef, iters, expand, ring, dis
     return BM.beam_search(entry, nd, lf, ef, iters, expand, ring)
 
 
-@partial(jax.jit, static_argnames=("ef", "iters", "expand", "ring", "dist"))
-def _beam0_rs(q, base_rs, links0, entry, ef, iters, expand, ring, dist):
+@partial(jax.jit, static_argnames=("ef", "iters", "expand", "ring", "dist",
+                                   "with_stats"))
+def _beam0_rs(q, base_rs, links0, entry, ef, iters, expand, ring, dist,
+              with_stats=False):
     """Level-0 beam search with the Pallas DMA-gather distance kernel.
 
     The XLA row gather behind `_make_node_dist` measured ~27 GB/s on the
@@ -118,7 +120,8 @@ def _beam0_rs(q, base_rs, links0, entry, ef, iters, expand, ring, dist):
 
     nd = lambda ids: PG.gather_dists_rs(q, base_rs, ids, dist)
     lf = lambda ids: links0[ids]
-    return BM.beam_search(entry, nd, lf, ef, iters, expand, ring)
+    return BM.beam_search(entry, nd, lf, ef, iters, expand, ring,
+                          with_stats=with_stats)
 
 
 @partial(jax.jit, static_argnames=("iters", "dist"))
@@ -1145,6 +1148,35 @@ class HNSWIndex:
         _, bi = _beam0(q, q_cache, vecs_t, vcache, links0, cur, ef, iters, expand, ring, self.dist)
         d, i = T.knn_gathered(q, vecs, bi, k, self.dist, base_cache=vcache)
         return np.asarray(d), np.asarray(i)
+
+    def traversal_stats(self, queries: np.ndarray, k: int, ef: int,
+                        expand: int | None = None):
+        """Graph-route search that ALSO reports rows scored per query.
+
+        DESIGN.md 9c prices the batched traversal at ~16 ns per scored row
+        (one scalar core issuing gather DMA descriptors); this runs the
+        production DMA-gather beam with the novel-row counter on so the
+        ceiling claim is checkable against measured latency (VERDICT r3
+        item 5: floor = rows_scored x 16 ns within 10% of wall-clock).
+        Returns (dists (B,k), ids (B,k), rows_scored (B,) int32)."""
+        import jax
+
+        B = len(np.atleast_2d(queries))
+        if expand is None:
+            expand = BEAM_EXPAND
+        iters = (2 * ef + 64 + expand - 1) // expand + 16
+        ring = _pow2(min(2 * ef + 64, 4 * ef))
+        links0 = self._links0_device()
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        base_rs = self.store.device_rerank()
+        cur = jnp.full((B,), self.entry_point, jnp.int32)
+        for level in range(self.enter_level, 0, -1):
+            ul = self._upper(level)
+            links_l, pos_l = ul.device()
+            cur = _greedy_upper_rs(q, base_rs, links_l, pos_l, cur, 256, self.dist)
+        bd, bi, rows = _beam0_rs(q, base_rs, links0, cur, ef, iters, expand,
+                                 ring, self.dist, with_stats=True)
+        return np.asarray(bd[:, :k]), np.asarray(bi[:, :k]), np.asarray(rows)
 
     def knn_batch(self, queries: np.ndarray, k: int):
         return self.knn_with_ef_batch(queries, k, self.config.default_ef)

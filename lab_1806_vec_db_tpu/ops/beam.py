@@ -91,11 +91,14 @@ def beam_search(
     max_iters: int,
     expand: int = 1,
     ring_size: int = 64,
-) -> tuple[Array, Array]:
+    with_stats: bool = False,
+) -> tuple[Array, ...]:
     """Run lock-step beam search from per-query entry points.
 
     entry: (B,) int32 node ids.
-    Returns (beam_dists, beam_ids): (B, ef) sorted ascending, -1 padded.
+    Returns (beam_dists, beam_ids): (B, ef) sorted ascending, -1 padded;
+    with_stats additionally returns (B,) int32 NOVEL rows scored per query
+    (the quantity the 16 ns/row DMA-issue ceiling prices — DESIGN.md 9c).
     """
     B = entry.shape[0]
     E = expand
@@ -107,14 +110,15 @@ def beam_search(
     expanded = jnp.zeros((B, ef), bool)
     ring = jnp.full((B, R), -1, jnp.int32)
     ring_pos = jnp.zeros((B,), jnp.int32)
+    rows = jnp.ones((B,), jnp.int32)  # entry row is scored up front
 
     def cond(state):
-        beam_d, beam_i, expanded, ring, ring_pos, it = state
+        beam_d, beam_i, expanded, ring, ring_pos, rows, it = state
         unexp = (~expanded) & (beam_i >= 0)
         return (it < max_iters) & jnp.any(unexp)
 
     def body(state):
-        beam_d, beam_i, expanded, ring, ring_pos, it = state
+        beam_d, beam_i, expanded, ring, ring_pos, rows, it = state
         unexp = (~expanded) & (beam_i >= 0)
         active = jnp.any(unexp, axis=1)  # (B,)
 
@@ -192,12 +196,16 @@ def beam_search(
         upd = jnp.max(jnp.where(slot_hit, cand[:, :, None], jnp.int32(-1)), axis=1)
         ring = jnp.where(jnp.any(slot_hit, axis=1), upd, ring)
         ring_pos = ring_pos + jnp.sum(sel_valid, axis=1).astype(jnp.int32)
+        rows = rows + jnp.where(active, crank[:, -1], 0)
 
-        return beam_d, beam_i, expanded2, ring, ring_pos, it + 1
+        return beam_d, beam_i, expanded2, ring, ring_pos, rows, it + 1
 
-    beam_d, beam_i, expanded, ring, ring_pos, _ = jax.lax.while_loop(
-        cond, body, (beam_d, beam_i, expanded, ring, ring_pos, jnp.int32(0))
+    beam_d, beam_i, expanded, ring, ring_pos, rows, _ = jax.lax.while_loop(
+        cond, body, (beam_d, beam_i, expanded, ring, ring_pos, rows,
+                     jnp.int32(0))
     )
+    if with_stats:
+        return beam_d, beam_i, rows
     return beam_d, beam_i
 
 

@@ -231,3 +231,35 @@ def test_hnsw_scan_route_two_stage(gist_1000, monkeypatch):
     # the floor (max(ef, k, 32)) applies to starved ef
     index.knn_with_ef_batch(queries, 10, 10, route="scan")
     assert seen_r[-1] == 32
+
+
+def test_beam_search_stats_counts_novel_rows(rng):
+    """with_stats must not change results and must count the novel rows the
+    16 ns/row DMA ceiling prices (>= beam fill, <= expansion budget)."""
+    import jax.numpy as jnp
+    from lab_1806_vec_db_tpu.ops import beam as BM
+    from lab_1806_vec_db_tpu.ops import distance as D
+
+    N, dim, L, B, ef = 300, 16, 6, 5, 12
+    vecs = jnp.asarray(rng.standard_normal((N, dim)).astype(np.float32))
+    links = jnp.asarray(rng.integers(0, N, size=(N, L)).astype(np.int32))
+    q = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+    vcache = D.dist_cache(vecs, "l2sqr")
+    qc = D.dist_cache(q, "l2sqr")
+
+    def nd(ids):
+        v = vecs[ids]
+        dots = jnp.einsum("bd,bcd->bc", q, v)
+        return jnp.maximum(qc[:, None] + vcache[ids] - 2.0 * dots, 0.0)
+
+    lf = lambda ids: links[ids]
+    entry = jnp.zeros((B,), jnp.int32)
+    iters = 64
+    d0, i0 = BM.beam_search(entry, nd, lf, ef, iters, expand=2)
+    d1, i1, rows = BM.beam_search(entry, nd, lf, ef, iters, expand=2,
+                                  with_stats=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1))
+    rows = np.asarray(rows)
+    assert (rows >= ef).all()  # at least the beam was filled with novel rows
+    assert (rows <= 1 + iters * 2 * L).all()  # bounded by the expansion budget
