@@ -267,18 +267,41 @@ def make_fill(seed: int, dim: int, kind: str = "gist"):
             assign = jax.random.randint(ka, (rows,), 0, n_clusters)
             return centers[assign] + 0.35 * jax.random.normal(kn, (rows, dim), jnp.float32)
 
-    gen = partial(jax.jit, static_argnames=("rows",))(draw)
+    # ROW-ADDRESSABLE keying: every base row draws from its own
+    # fold_in(kb, row_id) key, so consumers can regenerate an arbitrary id
+    # SET directly (the codes tiers' exact refine needs ~B*ef of 10M rows;
+    # block-keyed draws forced a full-dataset regen per batch — 77 blocks
+    # x ~8.8 ms of RNG+GEMM = 540 ms of the measured 750 ms/batch at 10M).
+    def draw_rows(params, key, row_ids):
+        keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(
+            row_ids.astype(jnp.uint32))
+        if kind == "gist" and dim <= 960:
+            mu, scales, vt = params
+            z = jax.vmap(
+                lambda kk: jax.random.normal(kk, (len(scales_h),), jnp.float32)
+            )(keys)
+            return jnp.clip((z * scales) @ vt + mu, 0.0, None)
+        (centers,) = params
+        def one(kk):
+            ka, kn = jax.random.split(kk)
+            a = jax.random.randint(ka, (), 0, centers.shape[0])
+            return a, jax.random.normal(kn, (centers.shape[1],), jnp.float32)
+        assign, noise = jax.vmap(one)(keys)
+        return centers[assign] + 0.35 * noise
+
+    gen_rows = jax.jit(draw_rows)
+    gen_q = partial(jax.jit, static_argnames=("rows",))(draw)
 
     def fill(row0, rows):
-        return gen(jax.random.fold_in(kb, row0), params, rows)
+        return gen_rows(params, kb, row0 + jnp.arange(rows, dtype=jnp.int32))
 
     def queries(n_queries):
-        return gen(kq, params, n_queries)
+        return gen_q(kq, params, n_queries)
 
-    # jit-traceable form for consumers that re-generate INSIDE one device
-    # program (PQCodesIndex's single-dispatch refine): same draw, same
-    # fold_in(kb, row0) keying as fill
-    fill.traced = (draw, params, kb)
+    # jit-traceable row generator for consumers that regenerate INSIDE one
+    # device program (the codes tiers' exact refine): identical keying to
+    # `fill` by construction
+    fill.row_gen = (draw_rows, params, kb)
     return fill, queries
 
 
@@ -673,7 +696,7 @@ def bench_codes(n: int, k: int, n_queries: int) -> dict:
     idx = IVFPQIndex.build_from_fill(
         fill, n, dim, "l2sqr", nlist=nlist,
         pq_config=PQConfig(n_bits=4, m=320, dist="l2sqr", k_means_size=25_000),
-        traced_gen=fill.traced,
+        row_gen=fill.row_gen,
         progress=progress_bar(n, "ivfpq-ingest"),
     )
     build_s = time.perf_counter() - t0
@@ -701,10 +724,14 @@ def bench_codes(n: int, k: int, n_queries: int) -> dict:
         return min(times) * scale, float(np.median(times)) * scale
 
     log("[3/3] (n_probes, ef) sweep")
-    combos = [(16, 200), (32, 200), (64, 400)]
+    # qb pinned at 32: bin_queries keeps each query's HIGHEST-priority
+    # probes when a list's bin fills, so p > qb*nlist/2B buys coverage at
+    # the same kernel cost (the kernel's dot scales with qb, not p)
+    combos = [(32, 256), (64, 256), (96, 320)]
     ms, med, rec, efs = [], [], [], []
     for p, ef in combos:
-        step = lambda q, p=p, ef=ef: idx.knn_batch(q, k, n_probes=p, ef=ef)
+        step = lambda q, p=p, ef=ef: idx.knn_batch(q, k, n_probes=p, ef=ef,
+                                                   qb=32)
         _, ids = step(q_dev)
         rec.append(round(recall_at_k(gt_ids, np.asarray(ids), k), 4))
         b, m_ = chained_stats(step)
@@ -728,7 +755,8 @@ def bench_codes(n: int, k: int, n_queries: int) -> dict:
              f"ef = {efs}",
              f"build_seconds = {round(build_s, 1)!r}",
              f"index_device_bytes = {idx.index_bytes()}",
-             f"ef_rerank = {[e for _, e in combos]}"]
+             f"ef_rerank = {[e for _, e in combos]}",
+             'qb = 32']
     lines.append("search_time = [\n" + ",\n".join(f"    {v!r}" for v in ms) + ",\n]")
     lines.append("search_time_median = [\n" + ",\n".join(f"    {v!r}" for v in med) + ",\n]")
     lines.append("recall = [\n" + ",\n".join(f"    {v!r}" for v in rec) + ",\n]")

@@ -58,7 +58,8 @@ class IVFPQIndex:
 
     def __init__(self, pq: PQTable, centroids: np.ndarray, n: int, dim: int,
                  dist: str, lpad: int, lens: np.ndarray, ov_count: int,
-                 fill=None, traced_gen=None, block_rows: int = _BLOCK):
+                 fill=None, traced_gen=None, row_gen=None,
+                 block_rows: int = _BLOCK):
         self.pq = pq
         self.centroids = np.asarray(centroids, np.float32)
         self.nlist = self.centroids.shape[0]
@@ -70,6 +71,7 @@ class IVFPQIndex:
         self.ov_count = int(ov_count)
         self._fill = fill
         self._gen = traced_gen
+        self._row_gen = row_gen  # (draw_rows, params, key) row-addressable
         self._block_rows = int(block_rows)
         # device state
         self._codes: jax.Array | None = None  # (slots, cw) uint8 sorted
@@ -92,6 +94,7 @@ class IVFPQIndex:
         seed: int = 0,
         block_rows: int = _BLOCK,
         traced_gen=None,
+        row_gen=None,
         progress=None,
     ) -> "IVFPQIndex":
         """Two passes over `fill` (the sorted-mirror ingest discipline,
@@ -177,7 +180,8 @@ class IVFPQIndex:
 
         self = cls(pq, np.asarray(centroids_dev), n, dim, dist, lpad,
                    np.minimum(counts, lpad), len(ov_h), fill=fill,
-                   traced_gen=traced_gen, block_rows=block_rows)
+                   traced_gen=traced_gen, row_gen=row_gen,
+                   block_rows=block_rows)
 
         m = pq.config.m
         codes = jnp.zeros((slots_total, (m + 1) // 2), jnp.uint8)
@@ -221,8 +225,9 @@ class IVFPQIndex:
         ~15 jitted calls per batch; under the axon tunnel each dispatch
         costs milliseconds of host time, which dominated the measured
         latency (0.30 ms/q at 500k where the kernel math is ~2 ms/batch).
-        Requires the traced generator and an unrotated main table."""
-        draw, params, key = self._gen
+        Requires a traceable generator and an unrotated main table."""
+        gen = self._row_gen if self._row_gen is not None else self._gen
+        draw, params, key = gen
         centroids, lens_dev, cb_sq = self._device()
         B = q_dev.shape[0]
         nb = -(-self.n // self._block_rows)
@@ -237,6 +242,7 @@ class IVFPQIndex:
             dist=self.dist, lpad=self.lpad, ov_count=self.ov_count,
             n=self.n, nlist=self.nlist, block_rows=self._block_rows,
             nb=nb, S=S, draw=draw,
+            row_addressable=self._row_gen is not None,
         )
 
     def _auto_qb(self, B: int, n_probes: int) -> int:
@@ -259,8 +265,8 @@ class IVFPQIndex:
         kk = min(k, ef)
         if qb is None:
             qb = self._auto_qb(B, n_probes)
-        if (self._gen is not None and self.pq.rotation is None
-                and not interpret):
+        if ((self._row_gen is not None or self._gen is not None)
+                and self.pq.rotation is None and not interpret):
             td, ti = self._search_fused(q_dev, k, n_probes, ef, qb, chunk)
             if kk < k:
                 td = jnp.pad(td, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
@@ -276,7 +282,8 @@ class IVFPQIndex:
             ov_count=self.ov_count, nlist=self.nlist, interpret=interpret,
         )
         d_ex = refine_blocked(self._gen, self._fill, self._block_rows, self.n,
-                              self.dim, self.dist, q_dev, ti1)
+                              self.dim, self.dist, q_dev, ti1,
+                              row_gen=self._row_gen)
         if d_ex is None:
             d_ex = td1
         td, ti = T.topk_smallest(jnp.asarray(d_ex), ti1, kk)
@@ -361,11 +368,11 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, slot_id,
 
 @_partial(jax.jit, static_argnames=(
     "k", "n_probes", "ef", "qb", "chunk", "dist", "lpad", "ov_count", "n",
-    "nlist", "block_rows", "nb", "S", "draw"))
+    "nlist", "block_rows", "nb", "S", "draw", "row_addressable"))
 def _ivfpq_search_jit(q, centroids, codes, slot_id, lens_dev,
                       cb_sq, gidx, gmask, cbooks, params, key, *, k, n_probes,
                       ef, qb, chunk, dist, lpad, ov_count, n, nlist,
-                      block_rows, nb, S, draw):
+                      block_rows, nb, S, draw, row_addressable=False):
     """The whole IVF-PQ search as one device program: lookup build +
     candidates + single-program exact refine (the traced branch of
     refine_blocked, inlined so the refine's sort/searchsorted stay on
@@ -387,6 +394,15 @@ def _ivfpq_search_jit(q, centroids, codes, slot_id, lens_dev,
         lpad=lpad, ov_count=ov_count, nlist=nlist, interpret=False,
     )
     ef_eff = ti1.shape[1]
+
+    if row_addressable:
+        # direct per-row regeneration (see pq_codes._refine_rows_jit)
+        from .pq_codes import _refine_rows_jit
+
+        d_ex = _refine_rows_jit(params, key, ti1, qf,
+                                cos=dist == "cosine", draw_rows=draw)
+        td, ti = T.topk_smallest(d_ex, ti1, k)
+        return td, jnp.where(jnp.isfinite(td), ti, -1)
 
     # inline traced refine (see pq_codes.refine_blocked)
     flat = ti1.reshape(-1)

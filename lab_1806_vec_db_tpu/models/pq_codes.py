@@ -113,18 +113,42 @@ def _refine_traced_jit(params, key, sorted_ids, sorted_q, starts, q, *,
     return out[:Np]
 
 
+@partial(jax.jit, static_argnames=("cos", "draw_rows"))
+def _refine_rows_jit(params, key, ids, q, *, cos, draw_rows):
+    """Exact f32 distances for (B, ef) candidate ids via the
+    ROW-ADDRESSABLE generator: regenerate exactly the candidate rows (one
+    vmapped per-row-key draw) instead of scanning every block — at 10M the
+    block scan regenerated the whole dataset per batch (~540 ms of RNG+GEMM
+    for ~260k needed rows)."""
+    B, ef = ids.shape
+    flat = ids.reshape(-1)
+    rows = draw_rows(params, key, jnp.maximum(flat, 0))  # (B*ef, dim)
+    qr = q[(jnp.arange(B * ef, dtype=jnp.int32) // ef)]
+    if cos:
+        dots = jnp.sum(rows * qr, axis=-1)
+        d = 1.0 - dots / jnp.maximum(
+            jnp.linalg.norm(rows, axis=-1) * jnp.linalg.norm(qr, axis=-1),
+            1e-10)
+    else:
+        diff = rows - qr
+        d = jnp.sum(diff * diff, axis=-1)
+    return jnp.where(flat >= 0, d, jnp.inf).reshape(B, ef)
+
+
 class PQCodesIndex:
     """Codes-resident kNN index (see module docstring)."""
 
     def __init__(self, pq: PQTable, coarse: PQTable, n: int, dim: int, dist: str,
-                 fill=None, traced_gen=None, block_rows: int = _BLOCK):
+                 fill=None, traced_gen=None, row_gen=None,
+                 block_rows: int = _BLOCK):
         self.pq = pq
         self.coarse = coarse
         self.n = int(n)
         self.dim = int(dim)
         self.dist = dist
         self._fill = fill
-        self._gen = traced_gen  # (draw, params, key) jit-traceable generator
+        self._gen = traced_gen  # (draw, params, key) block-keyed generator
+        self._row_gen = row_gen  # (draw_rows, params, key) row-addressable
         self._block_rows = int(block_rows)
         self._codes: jax.Array | None = None  # (cap, ceil(m/2)) uint8 PERMUTED
         self._codes_c: jax.Array | None = None  # coarse, same permutation
@@ -145,6 +169,7 @@ class PQCodesIndex:
         seed: int = 0,
         block_rows: int = _BLOCK,
         traced_gen=None,
+        row_gen=None,
         progress=None,
     ) -> "PQCodesIndex":
         """Stream `fill(row0, rows) -> (rows, dim) f32 device block`; train
@@ -184,7 +209,7 @@ class PQCodesIndex:
         del sample
 
         self = cls(pq, coarse, n, dim, dist, fill=fill, traced_gen=traced_gen,
-                   block_rows=block_rows)
+                   row_gen=row_gen, block_rows=block_rows)
         cap = -(-n // 16384) * 16384
         # adc_scan_chunkmin masks padding by POSITION < n: the permutation
         # must keep positions [0, n) = exactly the valid rows (a permutation
@@ -240,7 +265,7 @@ class PQCodesIndex:
     def _refine(self, q_dev, ids):
         return refine_blocked(
             self._gen, self._fill, self._block_rows, self.n, self.dim,
-            self.dist, q_dev, ids,
+            self.dist, q_dev, ids, row_gen=self._row_gen,
         )
 
     def knn_batch(self, queries, k: int, ef: int = 200, c0: int = 2048,
@@ -292,14 +317,21 @@ class PQCodesIndex:
         return td, ti
 
 
-def refine_blocked(gen, fill, block_rows, n, dim, dist, q_dev, ids):
-    """Exact f32 distances for a (B, ef) id set via block regeneration,
-    or None when no exact source exists (ADC distances then stand).
+def refine_blocked(gen, fill, block_rows, n, dim, dist, q_dev, ids,
+                   row_gen=None):
+    """Exact f32 distances for a (B, ef) id set, or None when no exact
+    source exists (ADC distances then stand).
 
-    Shared by the codes tier and the IVF-PQ tier: `gen` = (draw, params,
-    key) jit-traceable generator for the single-program path, else `fill`
-    host block source, else None."""
+    Shared by the codes tier and the IVF-PQ tier.  Source priority:
+    `row_gen` = (draw_rows, params, key) ROW-ADDRESSABLE generator
+    (regenerates exactly the candidate rows — the fast path); `gen` =
+    (draw, params, key) block-keyed generator (lax.scan over every block);
+    `fill` host block source; else None."""
     B, ef = ids.shape
+    if row_gen is not None:
+        draw_rows, params, key = row_gen
+        return _refine_rows_jit(params, key, ids, q_dev,
+                                cos=dist == "cosine", draw_rows=draw_rows)
     if gen is not None:
         draw, params, key = gen
         nb = -(-n // block_rows)

@@ -24,19 +24,24 @@ def _gen(dist):
     scales = jnp.asarray(
         (1.2 * np.exp(-0.06 * np.arange(DIM))).astype(np.float32))
 
-    def draw(key_b, params, rows):
+    def draw_rows(params, key, row_ids):
         (s,) = params
-        z = jax.random.normal(key_b, (rows, DIM), jnp.float32)
+        keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(
+            row_ids.astype(jnp.uint32))
+        z = jax.vmap(lambda kk: jax.random.normal(kk, (DIM,), jnp.float32))(keys)
         return jnp.clip(z * s + 0.2, 0.0, None)
 
-    gen = jax.jit(draw, static_argnames=("rows",))
+    gen_rows = jax.jit(draw_rows)
     params = (scales,)
 
     def fill(row0, rows):
-        return gen(jax.random.fold_in(kb, row0), params, rows)
+        return gen_rows(params, kb, row0 + jnp.arange(rows, dtype=jnp.int32))
 
-    queries = np.asarray(gen(kq, params, 32))
-    return fill, (draw, params, kb), queries
+    qz = jax.vmap(lambda kk: jax.random.normal(kk, (DIM,), jnp.float32))(
+        jax.random.split(kq, 32))
+    queries = np.asarray(jnp.clip(qz * scales + 0.2, 0.0, None))
+    fill.row_gen = (draw_rows, params, kb)
+    return fill, (draw_rows, params, kb), queries
 
 
 def _build(dist, traced=True):
@@ -46,7 +51,7 @@ def _build(dist, traced=True):
         pq_config=PQConfig(n_bits=4, m=16, dist=dist, k_means_size=4000,
                            rotate=True),
         coarse_m=8, sample_rows=4000, block_rows=BR,
-        traced_gen=gen3 if traced else None,
+        row_gen=gen3 if traced else None,
     )
     base = np.concatenate([np.asarray(fill(r, min(BR, N - r)))
                            for r in range(0, N, BR)])
@@ -87,7 +92,7 @@ def test_pq_codes_host_fill_refine_matches_traced():
     idx_h = PQCodesIndex(
         idx_t.pq, idx_t.coarse, N, DIM, "l2sqr",
         fill=lambda row0, rows: jnp.asarray(base[row0:row0 + rows]),
-        traced_gen=None, block_rows=BR,
+        traced_gen=None, row_gen=None, block_rows=BR,
     )
     idx_h._codes, idx_h._codes_c = idx_t._codes, idx_t._codes_c
     idx_h._perm, idx_h._inv = idx_t._perm, idx_t._inv
@@ -115,7 +120,7 @@ def test_ivfpq_recall_and_exact_distances():
         fill, N, DIM, "l2sqr", nlist=32,
         pq_config=PQConfig(n_bits=4, m=32, dist="l2sqr", k_means_size=4000,
                            rotate=True),
-        sample_rows=4000, block_rows=BR, traced_gen=gen3,
+        sample_rows=4000, block_rows=BR, row_gen=gen3,
     )
     base = np.concatenate([np.asarray(fill(r, min(BR, N - r)))
                            for r in range(0, N, BR)])
@@ -145,3 +150,15 @@ def test_ivfpq_recall_and_exact_distances():
     seen.append(sid[kl: kl + idx.ov_count])
     seen = np.concatenate(seen)
     assert sorted(seen.tolist()) == list(range(N))
+
+
+def test_row_gen_matches_fill():
+    """The row-addressable generator must reproduce exactly the rows `fill`
+    produces (the refine's correctness rests on this identity)."""
+    fill, (draw_rows, params, key), _ = _gen("l2sqr")
+    import jax.numpy as jnp
+
+    blk = np.asarray(fill(BR, BR))
+    ids = np.array([BR, BR + 7, BR + BR - 1], np.int32)
+    rows = np.asarray(draw_rows(params, key, jnp.asarray(ids)))
+    np.testing.assert_allclose(rows, blk[ids - BR], rtol=1e-6, atol=1e-7)
