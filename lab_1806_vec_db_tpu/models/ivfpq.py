@@ -338,23 +338,26 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, slot_id,
         jnp.broadcast_to(dropped[:, :, None], (B, n_probes, SL)).reshape(
             B, n_probes * SL),
         jnp.inf, d_cand)
-    ids_cand = slot_id[jnp.clip(slot_cand, 0, slot_id.shape[0] - 1)]
-    ids_cand = jnp.where(jnp.isfinite(d_cand), ids_cand, -1)
 
-    # 5. overflow segment: chunk-min ADC scanned by every query
+    # 5. overflow segment: chunk-min ADC scanned by every query.  Its perm
+    # maps positions to GLOBAL SLOTS (kl + position): candidates stay in
+    # slot space until after selection — decoding the full (B, p*SL)
+    # candidate matrix through slot_id is B*p*SL scalar gathers (~30M at
+    # p=64, the third scalar-gather trap this module hit; ids are decoded
+    # on the (B, ef) selection below instead).
     if ov_count > 0:
         kl = nlist * lpad
         ov_codes = codes[kl:]
-        ov_perm = slot_id[kl:]
+        ov_slots = kl + jnp.arange(ov_codes.shape[0], dtype=jnp.int32)
         k_ov = min(max(k, 32), max(ov_count // 4, 1))
-        d_ov, i_ov = PA.adc_scan_chunkmin(
-            lookup, ov_codes, ov_perm, jnp.int32(ov_count), cb_sq,
+        d_ov, s_ov = PA.adc_scan_chunkmin(
+            lookup, ov_codes, ov_slots, jnp.int32(ov_count), cb_sq,
             q_norms, k_ov, dist, packed=True,
             chunk=8 if ov_count < 32 * 8 * k_ov else 32,
             interpret=interpret,
         )
         d_cand = jnp.concatenate([d_cand, d_ov], axis=1)
-        ids_cand = jnp.concatenate([ids_cand, i_ov], axis=1)
+        slot_cand = jnp.concatenate([slot_cand, s_ov], axis=1)
 
     # 6. top-ef by ADC distance.  Stage-1 ordering feeds the exact refine,
     # so wide pools take approx_min_k at recall_target .95 (the rt=1.0 form
@@ -362,8 +365,11 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, slot_id,
     kk = min(ef, d_cand.shape[1])
     if d_cand.shape[1] > 4 * kk:
         td, pos = jax.lax.approx_min_k(d_cand, kk, recall_target=0.95)
-        return td, jnp.take_along_axis(ids_cand, pos, axis=-1)
-    return T.topk_smallest(d_cand, ids_cand, kk)
+        ts = jnp.take_along_axis(slot_cand, pos, axis=-1)
+    else:
+        td, ts = T.topk_smallest(d_cand, slot_cand, kk)
+    ids = slot_id[jnp.clip(ts, 0, slot_id.shape[0] - 1)]
+    return td, jnp.where(jnp.isfinite(td), ids, -1)
 
 
 @_partial(jax.jit, static_argnames=(
