@@ -727,7 +727,7 @@ def bench_codes(n: int, k: int, n_queries: int) -> dict:
     # qb pinned at 32: bin_queries keeps each query's HIGHEST-priority
     # probes when a list's bin fills, so p > qb*nlist/2B buys coverage at
     # the same kernel cost (the kernel's dot scales with qb, not p)
-    combos = [(32, 256), (64, 256), (96, 320)]
+    combos = [(32, 256), (48, 256), (64, 256), (96, 320)]
     ms, med, rec, efs = [], [], [], []
     for p, ef in combos:
         step = lambda q, p=p, ef=ef: idx.knn_batch(q, k, n_probes=p, ef=ef,

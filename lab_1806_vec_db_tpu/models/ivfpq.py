@@ -74,7 +74,8 @@ class IVFPQIndex:
         self._row_gen = row_gen  # (draw_rows, params, key) row-addressable
         self._block_rows = int(block_rows)
         # device state
-        self._codes: jax.Array | None = None  # (slots, cw) uint8 sorted
+        self._codes: jax.Array | None = None  # (nlist*lpad, cw) uint8 sorted
+        self._codes_ov: jax.Array | None = None  # (ov_pad, cw) uint8
         self._slot_id: jax.Array | None = None  # (slots,) int32 slot -> orig
         self._lens_dev: jax.Array | None = None
         self._dev_centroids: jax.Array | None = None
@@ -197,7 +198,10 @@ class IVFPQIndex:
             if progress is not None:
                 progress((n + min(row0 + rows, n)) // 2)
         jax.block_until_ready(codes)
-        self._codes = codes
+        # split ONCE at build: an in-jit codes[:kl] slice for the binned
+        # kernel copies the whole 2.6 GB table every batch (~6.5 ms at 10M)
+        self._codes = codes[:kl]
+        self._codes_ov = codes[kl:]
         self._slot_id = jnp.asarray(slot_id)
         return self
 
@@ -206,8 +210,8 @@ class IVFPQIndex:
 
     def index_bytes(self) -> int:
         total = self.pq.device_bytes()
-        for a in (self._codes, self._slot_id, self._lens_dev,
-                  self._dev_centroids, self._cb_sq):
+        for a in (self._codes, self._codes_ov, self._slot_id,
+                  self._lens_dev, self._dev_centroids, self._cb_sq):
             if a is not None:
                 total += int(a.nbytes)
         return total
@@ -235,7 +239,8 @@ class IVFPQIndex:
         S = min(-(-B * ef // 512) * 512,
                 max(1024, -(-3 * B * ef // (2 * nb)) // 512 * 512 + 512))
         return _ivfpq_search_jit(
-            q_dev, centroids, self._codes, self._slot_id, lens_dev, cb_sq,
+            q_dev, centroids, self._codes, self._codes_ov, self._slot_id,
+            lens_dev, cb_sq,
             jnp.asarray(self.pq._gidx), jnp.asarray(self.pq._gmask),
             jnp.asarray(self.pq.codebooks), params, key,
             k=kk, n_probes=n_probes, ef=ef, qb=qb, chunk=chunk,
@@ -276,8 +281,9 @@ class IVFPQIndex:
         centroids, lens_dev, cb_sq = self._device()
         lookup, q_norms = self.pq.create_lookup(q_dev)
         td1, ti1 = _search_candidates(
-            q_dev, lookup, q_norms, centroids, self._codes, self._slot_id,
-            lens_dev, cb_sq, k=kk, n_probes=n_probes, ef=ef, qb=qb,
+            q_dev, lookup, q_norms, centroids, self._codes, self._codes_ov,
+            self._slot_id, lens_dev, cb_sq, k=kk, n_probes=n_probes, ef=ef,
+            qb=qb,
             chunk=chunk, dist=self.dist, lpad=self.lpad,
             ov_count=self.ov_count, nlist=self.nlist, interpret=interpret,
         )
@@ -294,8 +300,8 @@ class IVFPQIndex:
         return td, ti
 
 
-def _search_candidates(q, lookup, q_norms, centroids, codes, slot_id,
-                       lens_dev, cb_sq, *, k, n_probes, ef, qb,
+def _search_candidates(q, lookup, q_norms, centroids, codes, codes_ov,
+                       slot_id, lens_dev, cb_sq, *, k, n_probes, ef, qb,
                        chunk, dist, lpad, ov_count, nlist, interpret):
     """Steps 1-6 of the IVF-PQ search (probe -> bin -> binned ADC ->
     survivor gather -> overflow -> top-ef).  Pure jax; traced either
@@ -347,7 +353,7 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, slot_id,
     # on the (B, ef) selection below instead).
     if ov_count > 0:
         kl = nlist * lpad
-        ov_codes = codes[kl:]
+        ov_codes = codes_ov
         ov_slots = kl + jnp.arange(ov_codes.shape[0], dtype=jnp.int32)
         k_ov = min(max(k, 32), max(ov_count // 4, 1))
         d_ov, s_ov = PA.adc_scan_chunkmin(
@@ -375,7 +381,7 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, slot_id,
 @_partial(jax.jit, static_argnames=(
     "k", "n_probes", "ef", "qb", "chunk", "dist", "lpad", "ov_count", "n",
     "nlist", "block_rows", "nb", "S", "draw", "row_addressable"))
-def _ivfpq_search_jit(q, centroids, codes, slot_id, lens_dev,
+def _ivfpq_search_jit(q, centroids, codes, codes_ov, slot_id, lens_dev,
                       cb_sq, gidx, gmask, cbooks, params, key, *, k, n_probes,
                       ef, qb, chunk, dist, lpad, ov_count, n, nlist,
                       block_rows, nb, S, draw, row_addressable=False):
@@ -395,7 +401,7 @@ def _ivfpq_search_jit(q, centroids, codes, slot_id, lens_dev,
         q_norms = jnp.zeros(B, jnp.float32)
 
     td1, ti1 = _search_candidates(
-        qf, lookup, q_norms, centroids, codes, slot_id, lens_dev,
+        qf, lookup, q_norms, centroids, codes, codes_ov, slot_id, lens_dev,
         cb_sq, k=k, n_probes=n_probes, ef=ef, qb=qb, chunk=chunk, dist=dist,
         lpad=lpad, ov_count=ov_count, nlist=nlist, interpret=False,
     )

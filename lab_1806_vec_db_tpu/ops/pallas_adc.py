@@ -663,7 +663,9 @@ def adc_chunkmin_binned(
     need = nlist * lpad
     if codes_p.shape[0] < need:
         codes_p = jnp.pad(codes_p, ((0, need - codes_p.shape[0]), (0, 0)))
-    else:
+    elif codes_p.shape[0] > need:
+        # avoid a same-size slice: an in-jit slice of the full table copies
+        # it (2.6 GB/batch at 10M) — callers pass exactly-sized arrays
         codes_p = codes_p[:need]
 
     kernel = functools.partial(
