@@ -691,12 +691,14 @@ def bench_codes(n: int, k: int, n_queries: int) -> dict:
     q_dev = jnp.asarray(queries_fn(n_queries))
 
     nlist = int(os.environ.get("BENCH_NLIST", "2048"))
-    log(f"[1/3] IVF-PQ codes-tier ingest: N={n} x {dim} (PQ m=320, nlist={nlist})")
+    pq_m = int(os.environ.get("BENCH_PQ_M", "320"))
+    log(f"[1/3] IVF-PQ codes-tier ingest: N={n} x {dim} (PQ m={pq_m}, nlist={nlist})")
     t0 = time.perf_counter()
     idx = IVFPQIndex.build_from_fill(
         fill, n, dim, "l2sqr", nlist=nlist,
-        pq_config=PQConfig(n_bits=4, m=320, dist="l2sqr", k_means_size=25_000),
+        pq_config=PQConfig(n_bits=4, m=pq_m, dist="l2sqr", k_means_size=25_000),
         row_gen=fill.row_gen,
+        block_rows=int(os.environ.get("BENCH_BLOCK_ROWS", "131072")),
         progress=progress_bar(n, "ivfpq-ingest"),
     )
     build_s = time.perf_counter() - t0
@@ -751,7 +753,7 @@ def bench_codes(n: int, k: int, n_queries: int) -> dict:
         'recall@10 vs exact f32 GT by blocked regeneration."\n'
     )
     lines = [title, "[[results]]",
-             f'label = "tpu-ivfpq m320 binned-adc+exact-refine (build {build_s:.0f}s)"',
+             f'label = "tpu-ivfpq m{pq_m} binned-adc+exact-refine (build {build_s:.0f}s)"',
              f"ef = {efs}",
              f"build_seconds = {round(build_s, 1)!r}",
              f"index_device_bytes = {idx.index_bytes()}",

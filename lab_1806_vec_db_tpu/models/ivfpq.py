@@ -127,11 +127,13 @@ class IVFPQIndex:
         pq = PQTable.train(sample, pq_config, seed=seed)
 
         del sample
-        # coarse centroids train on a FULL block, not the 25k PQ sample:
-        # at nlist=2048 a 25k sample is ~12 rows/centroid and the noisy
-        # centroids skew list lengths so badly that the .98-quantile lpad
-        # landed at 3.8x the mean (6.2 GB of 77%-padding codes at 10M)
-        n_train = min(block_rows, n)
+        # coarse centroids train on >= 64 rows/centroid (NOT the 25k PQ
+        # sample, and NOT tied to block_rows): noisy centroids skew list
+        # lengths so badly that the padded-lpad lands at 3-4x the mean
+        # (6.2 GB of 77%-padding codes at 10M from a 12-rows/centroid
+        # sample; 2.9x again at 20M when a smaller ingest block leaked
+        # into the training-set size)
+        n_train = min(max(64 * nlist, 131072), n)
         train = fill(0, n_train)
         centroids_dev = KM.kmeans_fit(
             jax.random.PRNGKey(seed + 2), train, jnp.int32(n_train),
