@@ -23,7 +23,10 @@ of the (shuffled) overflow segment — the same discipline as the binned
 int8 IVF path.
 
 Device cost per row ~ ceil(m/2) * lpad_fill_factor + 4 B (slot->id) —
-about 200-230 B/row at the flagship m=320 config, 10M rows in ~2.2 GB.
+measured 259 B/row at the flagship m=320 config (10M rows in 2.6 GB,
+6,605 QPS @ recall 0.8675 — above the reference's 1M CPU baseline at 10x
+its rows) and 209 B/row at m=256 (20M rows in 4.2 GB; cw=128 also dodges
+the int8 tile's 160->256 lane padding).  data/t_bench_{10M,20M}_codes_tpu.toml.
 
 Parity anchors: IVFIndex::knn_with_ef (ivf_index.rs:143-154, ef =
 n_probes), FlatIndex::knn_pq rerank contract (flat_index.rs:84-104).
@@ -153,10 +156,12 @@ class IVFPQIndex:
                 progress(min(row0 + rows, n) // 2)
 
         posting, counts = _build_posting(assign, nlist)
-        # cap at the .98 quantile (not the binned-int8 path's .9): an
+        # cap at the .95 quantile (not the binned-int8 path's .9): an
         # overflow row is scanned by EVERY query (B columns) where a padded
         # list row costs only its bin's qb columns — at qb=32/B=1000 the
-        # spill is ~32x costlier per row than the padding it avoids
+        # spill is ~32x costlier per row than the padding it avoids, but
+        # measured padding at .98 (1.78x mean) cost more than the ~1%
+        # spill this cap leaves
         lpad, perm_pad, ov_h = _sorted_layout(posting, counts, nlist,
                                               cap_quantile=0.95)
         kl = nlist * lpad
@@ -224,6 +229,50 @@ class IVFPQIndex:
             self._lens_dev = jnp.asarray(self.lens)
             self._cb_sq = P.centroid_sqnorm_cache(jnp.asarray(self.pq.codebooks))
         return self._dev_centroids, self._lens_dev, self._cb_sq
+
+    # ---- serde (external-vec-set shape: codes/layout persist, the
+    # refine row source re-attaches on load, mod.rs:143-148) ----
+    def save(self, path) -> None:
+        from ..utils import serde
+
+        arrays = {
+            "codes": np.asarray(self._codes),
+            "codes_ov": np.asarray(self._codes_ov),
+            "slot_id": np.asarray(self._slot_id),
+            "centroids": self.centroids,
+            "lens": self.lens,
+        }
+        pq_arrays, pq_meta = self.pq.state()
+        for kk, v in pq_arrays.items():
+            arrays["main_" + kk] = v
+        meta = {
+            "kind": "ivfpq", "n": self.n, "dim": self.dim, "dist": self.dist,
+            "lpad": self.lpad, "ov_count": self.ov_count,
+            "block_rows": self._block_rows, "main": pq_meta["pq"],
+        }
+        serde.save_arrays(path, arrays, meta)
+
+    @classmethod
+    def load(cls, path, fill=None, traced_gen=None, row_gen=None) -> "IVFPQIndex":
+        """Re-attach a saved IVF-PQ tier; pass the refine row source back
+        in (fill / traced_gen / row_gen) for exact-f32 results."""
+        from ..utils import serde
+        from .pq_table import PQTable
+
+        arrays, meta = serde.load_arrays(path)
+        if meta.get("kind") != "ivfpq":
+            raise ValueError(f"{path} is not an IVFPQIndex checkpoint")
+        pq_arrays = {kk[5:]: v for kk, v in arrays.items()
+                     if kk.startswith("main_")}
+        pq = PQTable.from_state(pq_arrays, {"pq": meta["main"]})
+        self = cls(pq, arrays["centroids"], meta["n"], meta["dim"],
+                   meta["dist"], meta["lpad"], arrays["lens"],
+                   meta["ov_count"], fill=fill, traced_gen=traced_gen,
+                   row_gen=row_gen, block_rows=meta["block_rows"])
+        self._codes = jnp.asarray(arrays["codes"])
+        self._codes_ov = jnp.asarray(arrays["codes_ov"])
+        self._slot_id = jnp.asarray(arrays["slot_id"])
+        return self
 
     # ---- search ----
     def _search_fused(self, q_dev, k, n_probes, ef, qb, chunk):

@@ -268,6 +268,60 @@ class PQCodesIndex:
             self.dist, q_dev, ids, row_gen=self._row_gen,
         )
 
+    # ---- serde (the reference's external-vec-set shape, mod.rs:143-148:
+    # topology/codes persist, the row source re-attaches on load) ----
+    def save(self, path) -> None:
+        from ..utils import serde
+
+        arrays = {
+            "codes": np.asarray(self._codes),
+            "codes_c": np.asarray(self._codes_c),
+            "perm": np.asarray(self._perm),
+        }
+        pq_arrays, pq_meta = self.pq.state()
+        for kk, v in pq_arrays.items():
+            arrays["main_" + kk] = v
+        c_arrays, c_meta = self.coarse.state()
+        for kk, v in c_arrays.items():
+            arrays["coarse_" + kk] = v
+        meta = {
+            "kind": "pq_codes", "n": self.n, "dim": self.dim,
+            "dist": self.dist, "block_rows": self._block_rows,
+            "main": pq_meta["pq"], "coarse": c_meta["pq"],
+        }
+        serde.save_arrays(path, arrays, meta)
+
+    @classmethod
+    def load(cls, path, fill=None, traced_gen=None, row_gen=None) -> "PQCodesIndex":
+        """Re-attach a saved codes tier.  The exact-refine row source
+        (fill / traced_gen / row_gen) is runtime state and must be passed
+        back in (like HNSWIndex.load's external_vectors); without one,
+        results carry ADC-grade distances."""
+        from ..utils import serde
+        from .pq_table import PQTable
+
+        arrays, meta = serde.load_arrays(path)
+        if meta.get("kind") != "pq_codes":
+            raise ValueError(f"{path} is not a PQCodesIndex checkpoint")
+
+        def sub(prefix):
+            return {kk[len(prefix):]: v for kk, v in arrays.items()
+                    if kk.startswith(prefix)}
+
+        pq = PQTable.from_state(sub("main_"), {"pq": meta["main"]})
+        coarse = PQTable.from_state(sub("coarse_"), {"pq": meta["coarse"]})
+        self = cls(pq, coarse, meta["n"], meta["dim"], meta["dist"],
+                   fill=fill, traced_gen=traced_gen, row_gen=row_gen,
+                   block_rows=meta["block_rows"])
+        self._codes = jnp.asarray(arrays["codes"])
+        self._codes_c = jnp.asarray(arrays["codes_c"])
+        perm = arrays["perm"]
+        self._perm = jnp.asarray(perm)
+        inv = np.empty(len(perm), np.int32)
+        inv[perm] = np.arange(len(perm), dtype=np.int32)
+        self._inv = jnp.asarray(inv)
+        return self
+
     def knn_batch(self, queries, k: int, ef: int = 200, c0: int = 2048,
                   interpret: bool = False):
         """(B, dim) queries -> ((B, k) exact-f32 dists ascending, (B, k)

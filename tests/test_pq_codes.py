@@ -162,3 +162,48 @@ def test_row_gen_matches_fill():
     ids = np.array([BR, BR + 7, BR + BR - 1], np.int32)
     rows = np.asarray(draw_rows(params, key, jnp.asarray(ids)))
     np.testing.assert_allclose(rows, blk[ids - BR], rtol=1e-6, atol=1e-7)
+
+
+def test_ivfpq_cosine_and_serde(tmp_path):
+    """Cosine metric end-to-end + checkpoint/resume: a reloaded index (row
+    source re-attached) returns identical results."""
+    from lab_1806_vec_db_tpu.models import IVFPQIndex
+
+    fill, gen3, queries = _gen("cosine")
+    idx = IVFPQIndex.build_from_fill(
+        fill, N, DIM, "cosine", nlist=32,
+        pq_config=PQConfig(n_bits=4, m=32, dist="cosine", k_means_size=4000,
+                           rotate=True),
+        sample_rows=4000, block_rows=BR, row_gen=gen3,
+    )
+    base = np.concatenate([np.asarray(fill(r, min(BR, N - r)))
+                           for r in range(0, N, BR)])
+    flat = FlatIndex.from_numpy(base, "cosine")
+    _, gt = flat.knn_batch(queries, 10, exact=True)
+    d1, i1 = idx.knn_batch(queries, 10, n_probes=8, ef=160, qb=32, chunk=8,
+                           interpret=True)
+    rec = np.mean([len(set(gt[q]) & set(np.asarray(i1)[q])) / 10
+                   for q in range(len(queries))])
+    assert rec >= 0.8, rec
+
+    p = str(tmp_path / "ivfpq.npz")
+    idx.save(p)
+    idx2 = IVFPQIndex.load(p, row_gen=gen3)
+    d2, i2 = idx2.knn_batch(queries, 10, n_probes=8, ef=160, qb=32, chunk=8,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+
+def test_pq_codes_serde(tmp_path):
+    """PQCodesIndex checkpoint/resume parity."""
+    idx, base, queries = _build("l2sqr")
+    d1, i1 = idx.knn_batch(queries, 10, ef=64, c0=512, interpret=True)
+    p = str(tmp_path / "codes.npz")
+    idx.save(p)
+    from lab_1806_vec_db_tpu.models import PQCodesIndex
+
+    idx2 = PQCodesIndex.load(p, row_gen=idx._row_gen)
+    d2, i2 = idx2.knn_batch(queries, 10, ef=64, c0=512, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
