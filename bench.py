@@ -22,7 +22,13 @@ Throughput is measured pipelined (many batches in flight, one sync), which
 is the TPU serving model; the tunnel/dispatch round-trip (~26 ms) is
 reported separately as single-batch latency.
 
-Env knobs: BENCH_N, BENCH_K, BENCH_QUERIES, BENCH_MODE=scan|hnsw, BENCH_EF.
+Env knobs: BENCH_N, BENCH_K, BENCH_QUERIES, BENCH_EF,
+BENCH_MODE=scan|hnsw|sweep|big|bigivf|codes
+  sweep: full 1M reference-config matrix -> data/t_bench_1M_tpu.toml
+         (BENCH_SWEEP_BLOCKS=scan,hnsw,pq,ivf; BENCH_HNSW_CACHE=path)
+  big:   lean-tier >=2M sweeps -> data/t_bench_<N>M_lean_tpu.toml
+  codes: IVF-PQ codes tier (10M+/chip) -> data/t_bench_<N>M_codes_tpu.toml
+         (BENCH_NLIST, BENCH_PQ_M, BENCH_BLOCK_ROWS)
 """
 
 from __future__ import annotations
