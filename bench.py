@@ -732,14 +732,19 @@ def bench_codes(n: int, k: int, n_queries: int) -> dict:
         return min(times) * scale, float(np.median(times)) * scale
 
     log("[3/3] (n_probes, ef) sweep")
-    # qb pinned at 32: bin_queries keeps each query's HIGHEST-priority
-    # probes when a list's bin fills, so p > qb*nlist/2B buys coverage at
-    # the same kernel cost (the kernel's dot scales with qb, not p)
+    # BENCH_QB=32 pins the bin width: bin_queries keeps each query's
+    # HIGHEST-priority probes when a list's bin fills, so p > qb*nlist/2B
+    # buys coverage at the same kernel cost (the kernel's dot scales with
+    # qb, not p).  Pinning below ~1.5x the mean load drops too many probes
+    # (measured 0.84 vs 0.93 recall at 1M/nlist=1024/p=64 with qb=32);
+    # default auto = 2x mean.
+    qb_env = os.environ.get("BENCH_QB", "auto")
+    qb = None if qb_env == "auto" else int(qb_env)
     combos = [(32, 256), (48, 256), (64, 256), (96, 320)]
     ms, med, rec, efs = [], [], [], []
     for p, ef in combos:
         step = lambda q, p=p, ef=ef: idx.knn_batch(q, k, n_probes=p, ef=ef,
-                                                   qb=32)
+                                                   qb=qb)
         _, ids = step(q_dev)
         rec.append(round(recall_at_k(gt_ids, np.asarray(ids), k), 4))
         b, m_ = chained_stats(step)
@@ -764,7 +769,7 @@ def bench_codes(n: int, k: int, n_queries: int) -> dict:
              f"build_seconds = {round(build_s, 1)!r}",
              f"index_device_bytes = {idx.index_bytes()}",
              f"ef_rerank = {[e for _, e in combos]}",
-             'qb = 32']
+             f"qb = {qb if qb is not None else 0}  # 0 = auto (2x mean load)"]
     lines.append("search_time = [\n" + ",\n".join(f"    {v!r}" for v in ms) + ",\n]")
     lines.append("search_time_median = [\n" + ",\n".join(f"    {v!r}" for v in med) + ",\n]")
     lines.append("recall = [\n" + ",\n".join(f"    {v!r}" for v in rec) + ",\n]")
