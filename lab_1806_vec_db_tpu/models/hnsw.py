@@ -1254,7 +1254,11 @@ class HNSWIndex:
             if on_tpu and scannable:
                 route = "mirror"
             else:
-                route = "graph" if (not on_tpu or len(self.store) > 2_500_000) else "scan"
+                # ADC-scan cost ~ linear in N (v2 chunk-min kernel:
+                # 13.7k QPS at 1M incl. exact rerank), the ADC graph
+                # traversal ~ flat (~1.8k QPS): the crossover sits near
+                # 5M rows (round 4; it was 2.5M with the round-3 kernel)
+                route = "graph" if (not on_tpu or len(self.store) > 5_000_000) else "scan"
         if route == "mirror":
             from .flat import FlatIndex
 
