@@ -754,6 +754,14 @@ def bench_codes(n: int, k: int, n_queries: int) -> dict:
         log(f"  ivfpq probes={p} ef={ef}: {ms[-1]:.4f} ms/q (med {med[-1]:.4f}) "
             f"recall@{k}={rec[-1]:.4f}")
 
+    # merge with existing rows (other qb settings keep their rows)
+    existing = []
+    if os.path.exists(out_path):
+        import tomllib
+
+        with open(out_path, "rb") as f:
+            existing = tomllib.load(f).get("results", [])
+
     title = (
         f'title = "Gist-spectrum synthetic {tag} x 960, single TPU v5e chip, IVF-PQ CODES '
         f"tier (nlist={nlist} cluster-sorted packed m=320 codes + slot map; NO per-row "
@@ -763,13 +771,29 @@ def bench_codes(n: int, k: int, n_queries: int) -> dict:
         "search_time = ms/query (best of chained rounds, shared chip; median alongside); "
         'recall@10 vs exact f32 GT by blocked regeneration."\n'
     )
-    lines = [title, "[[results]]",
-             f'label = "tpu-ivfpq m{pq_m} binned-adc+exact-refine (build {build_s:.0f}s)"',
-             f"ef = {efs}",
-             f"build_seconds = {round(build_s, 1)!r}",
-             f"index_device_bytes = {idx.index_bytes()}",
-             f"ef_rerank = {[e for _, e in combos]}",
-             f"qb = {qb if qb is not None else 0}  # 0 = auto (2x mean load)"]
+    label = (f"tpu-ivfpq m{pq_m} nlist{nlist} qb={qb_env} "
+             f"binned-adc+exact-refine (build {build_s:.0f}s)")
+    lines = [title]
+    for r in existing:
+        if r["label"].split(" (")[0] == label.split(" (")[0]:
+            continue
+        lines.append("[[results]]")
+        for kk in ("label",):
+            lines.append(f'label = "{r["label"]}"')
+        for kk in ("ef", "build_seconds", "index_device_bytes", "ef_rerank", "qb"):
+            if kk in r:
+                lines.append(f"{kk} = {r[kk]!r}")
+        for kk in ("search_time", "search_time_median", "recall"):
+            if kk in r:
+                lines.append(f"{kk} = [\n" + ",\n".join(f"    {v!r}" for v in r[kk]) + ",\n]")
+        lines.append("")
+    lines += ["[[results]]",
+              f'label = "{label}"',
+              f"ef = {efs}",
+              f"build_seconds = {round(build_s, 1)!r}",
+              f"index_device_bytes = {idx.index_bytes()}",
+              f"ef_rerank = {[e for _, e in combos]}",
+              f'qb = "{qb_env}"']
     lines.append("search_time = [\n" + ",\n".join(f"    {v!r}" for v in ms) + ",\n]")
     lines.append("search_time_median = [\n" + ",\n".join(f"    {v!r}" for v in med) + ",\n]")
     lines.append("recall = [\n" + ",\n".join(f"    {v!r}" for v in rec) + ",\n]")
