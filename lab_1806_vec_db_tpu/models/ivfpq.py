@@ -343,6 +343,9 @@ class IVFPQIndex:
                               row_gen=self._row_gen)
         if d_ex is None:
             d_ex = td1
+        else:
+            # spilled (non-finite) refine entries keep ADC order (ADVICE r4 #1)
+            d_ex = jnp.where(jnp.isfinite(jnp.asarray(d_ex)), jnp.asarray(d_ex), td1)
         td, ti = T.topk_smallest(jnp.asarray(d_ex), ti1, kk)
         ti = jnp.where(jnp.isfinite(td), ti, -1)
         if kk < k:
@@ -406,11 +409,21 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, codes_ov,
         kl = nlist * lpad
         ov_codes = codes_ov
         ov_slots = kl + jnp.arange(ov_codes.shape[0], dtype=jnp.int32)
-        k_ov = min(max(k, 32), max(ov_count // 4, 1))
+        # floored at k (ADVICE r4 #2): with ov_count < 4k the old //4 cap
+        # could fall below k and make true top-k rows living in the overflow
+        # segment unfindable even at n_probes=nlist, breaking the
+        # exhaustive-probe == exact expectation.  The chunk ladder extends
+        # to 1 for the same reason: the chunk-min keeps one survivor per
+        # `chunk` VALID rows, so ceil(ov_count/chunk) is the real candidate
+        # capacity — a tiny overflow segment (e.g. 39 rows, k=10) must scan
+        # densely (chunk=1) or true neighbors sharing a chunk are lost.
+        k_ov = min(max(k, 32), max(ov_count, 1))
+        ch = 32
+        while ch > 1 and ov_count < ch * 8 * k_ov:
+            ch //= 2
         d_ov, s_ov = PA.adc_scan_chunkmin(
             lookup, ov_codes, ov_slots, jnp.int32(ov_count), cb_sq,
-            q_norms, k_ov, dist, packed=True,
-            chunk=8 if ov_count < 32 * 8 * k_ov else 32,
+            q_norms, k_ov, dist, packed=True, chunk=ch,
             interpret=interpret,
         )
         d_cand = jnp.concatenate([d_cand, d_ov], axis=1)
@@ -486,6 +499,9 @@ def _ivfpq_search_jit(q, centroids, codes, codes_ov, slot_id, lens_dev,
     )
     d_ex = jnp.full((B * ef_eff,), jnp.inf, jnp.float32).at[order].set(
         d_sorted).reshape(B, ef_eff)
+    # spill-past-S candidates keep their ADC distance instead of +inf
+    # (ADVICE r4 #1) — see pq_codes.PQCodesIndex.search for the rationale
+    d_ex = jnp.where(jnp.isfinite(d_ex), d_ex, td1)
     td, ti = T.topk_smallest(d_ex, ti1, k)
     return td, jnp.where(jnp.isfinite(td), ti, -1)
 

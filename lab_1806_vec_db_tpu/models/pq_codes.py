@@ -78,9 +78,11 @@ def _refine_traced_jit(params, key, sorted_ids, sorted_q, starts, q, *,
     positions).  sorted_q: (Np + S,) int32 owning query per candidate;
     starts: (n_blocks,) int32 = first sorted position of each block's
     candidates.  Each scan step regenerates one block and resolves the
-    S-candidate slice at its start (S is a static cap ~4x the mean
-    per-block load; spill past S keeps +inf and drops out of the final
-    top-k).  Returns (Np,) f32 distances in sorted order."""
+    S-candidate slice at its start (S is a static cap sized for iid
+    candidate ids; spill past S keeps +inf — CALLERS must substitute the
+    ADC distance for non-finite entries so clustered candidate sets
+    degrade to ADC ordering instead of dropping rows).  Returns (Np,)
+    f32 distances in sorted order."""
     Np = sorted_ids.shape[0] - S
 
     def body(dist_acc, b):
@@ -363,6 +365,16 @@ class PQCodesIndex:
         d_ex = self._refine(q_dev, ti1)
         if d_ex is None:
             d_ex = td1
+        else:
+            # Per-candidate ADC fallback (ADVICE r4 #1): the traced block
+            # refine caps per-block candidates at a static window S sized
+            # for iid ids; when candidates cluster into few blocks (data
+            # stored in cluster order), spill past S comes back +inf.
+            # Valid candidates keep their ADC distance instead of being
+            # silently dropped — graceful degradation to the no-refine
+            # contract, per element.  (row_gen/host paths never spill;
+            # isfinite is then only false where td1 is +inf too.)
+            d_ex = jnp.where(jnp.isfinite(jnp.asarray(d_ex)), jnp.asarray(d_ex), td1)
         td, ti = T.topk_smallest(jnp.asarray(d_ex), ti1, kk)
         ti = jnp.where(jnp.isfinite(td), ti, -1)
         if kk < k:
@@ -380,7 +392,15 @@ def refine_blocked(gen, fill, block_rows, n, dim, dist, q_dev, ids,
     `row_gen` = (draw_rows, params, key) ROW-ADDRESSABLE generator
     (regenerates exactly the candidate rows — the fast path); `gen` =
     (draw, params, key) block-keyed generator (lax.scan over every block);
-    `fill` host block source; else None."""
+    `fill` host block source; else None.
+
+    The `gen` (traced-block) path sizes its per-block candidate window S
+    for iid candidate ids (~1.5x the mean per-block load); ids clustered
+    into few blocks (data ingested in cluster order) can spill past S and
+    come back +inf.  Callers substitute the candidate's ADC distance for
+    non-finite entries (see PQCodesIndex.search / _ivfpq_search_jit), so
+    the failure mode is ADC-grade ordering for the spilled tail, never a
+    dropped row."""
     B, ef = ids.shape
     if row_gen is not None:
         draw_rows, params, key = row_gen

@@ -623,8 +623,16 @@ def adc_chunkmin_binned(
     Returns (outd, outi): (nlist, lpad//chunk, QB) f32 survivor distances
     and int32 GLOBAL SLOT indices (caller decodes slot -> original id and
     gathers each query's survivors from its probes' (list, slot) columns).
-    Bin columns with no query (-1) compute against a zero LUT and are
-    discarded by the caller's slot mask."""
+    Bin columns with no query (-1) compute against QUERY 0's LUT (the
+    safe=maximum(bins, 0) clamp below) — harmless garbage the caller's
+    slot mask discards, not a zero LUT (ADVICE r4 #5).
+
+    HBM transient (ADVICE r4 #5): `lut_binned` materializes a per-list
+    LUT copy of shape (nlist, W, QB) int8 per batch — at the flagship
+    shape (nlist=2048, W=5120, qb=512) up to ~5.4 GB.  IVFPQIndex._auto_qb
+    sizes qb to ~2x the mean per-list load precisely to bound this (qb=64
+    at B=1000/p=48/nlist=2048 -> ~0.7 GB); callers picking a manual qb
+    must budget nlist*W*qb bytes of headroom."""
     nlist, QB = bins.shape
     B, m, k = lookup.shape
     cw = codes_sorted.shape[1]

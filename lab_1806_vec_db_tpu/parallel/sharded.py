@@ -734,8 +734,14 @@ class ShardedHNSWIndex:
             )
             cfg = _HC(ef_construction=int(meta["ef_construction"]),
                       M=int(meta["M"]))
-            return cls(mesh, base, meta["dist"], cfg,
-                       seed=int(meta.get("seed", 0)))
+            rebuilt = cls(mesh, base, meta["dist"], cfg,
+                          seed=int(meta.get("seed", 0)))
+            # carry every persisted config field, not just the build knobs:
+            # knn_batch on the rebuilt index must use the SAVED default_ef,
+            # not the class default re-derived from ef_construction
+            # (ADVICE r4 #4)
+            rebuilt.default_ef = int(meta["default_ef"])
+            return rebuilt
         self = cls.__new__(cls)
         self.mesh = mesh
         self.dist = meta["dist"]

@@ -371,4 +371,16 @@ def test_mesh_opt_in_search(tmp_path, monkeypatch):
     monkeypatch.delenv("VECDB_TPU_MESH")
     flat_exact = sorted(base, key=lambda md: md[1])
     assert [m for m, _ in hn] == [m for m, _ in flat_exact[:5]]
+
+    # knn_pq rides the mirror too (VERDICT r4 weak-5: under the opt-in it
+    # used to silently run single-device while knn/knn_with_ef sharded):
+    # with a PQ table present, (ef, pq)-routed searches serve exact results
+    # from the sharded scan
+    db.build_pq_table("t", train_proportion=0.99)
+    monkeypatch.setenv("VECDB_TPU_MESH", "8")
+    pq_mesh = db.search("t", q.tolist(), 5, ef=32)
+    assert [m for m, _ in pq_mesh] == [m for m, _ in flat_exact[:5]]
+    pq_batch = db.batch_search("t", [q.tolist()], 5, ef=32)
+    assert [m for m, _ in pq_batch[0]] == [m for m, _ in flat_exact[:5]]
+    monkeypatch.delenv("VECDB_TPU_MESH")
     db.close()

@@ -152,6 +152,48 @@ def test_ivfpq_recall_and_exact_distances():
     assert sorted(seen.tolist()) == list(range(N))
 
 
+def test_ivfpq_fused_single_program_matches_unfused():
+    """The fused single-program search (_ivfpq_search_jit — the production
+    10M bench configuration: row_gen present, unrotated table,
+    non-interpret) must match the unfused path result-for-result (ADVICE
+    r4 #3: the fused trace had no pytest coverage, so a regression in the
+    lookup build / inline refine / S sizing would only surface on
+    hardware).  force_tpu_interpret_mode runs its Pallas kernels
+    interpreted on CPU while the routing still takes the fused branch."""
+    from jax.experimental.pallas import tpu as pltpu
+    from lab_1806_vec_db_tpu.models import IVFPQIndex
+    from lab_1806_vec_db_tpu.models import ivfpq as IVFPQ
+
+    fill, gen3, queries = _gen("l2sqr")
+    idx = IVFPQIndex.build_from_fill(
+        fill, N, DIM, "l2sqr", nlist=32,
+        pq_config=PQConfig(n_bits=4, m=32, dist="l2sqr", k_means_size=4000,
+                           rotate=False),
+        sample_rows=4000, block_rows=BR, row_gen=gen3,
+    )
+    assert idx.pq.rotation is None  # fused-path precondition
+    d_u, i_u = idx.knn_batch(queries, 10, n_probes=8, ef=160, qb=32,
+                             chunk=8, interpret=True)
+    calls = []
+    orig = IVFPQ._ivfpq_search_jit
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    IVFPQ._ivfpq_search_jit = spy
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            d_f, i_f = idx.knn_batch(queries, 10, n_probes=8, ef=160, qb=32,
+                                     chunk=8, interpret=False)
+    finally:
+        IVFPQ._ivfpq_search_jit = orig
+    assert calls, "fused branch was not taken"
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_u))
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_u),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_row_gen_matches_fill():
     """The row-addressable generator must reproduce exactly the rows `fill`
     produces (the refine's correctness rests on this identity)."""
