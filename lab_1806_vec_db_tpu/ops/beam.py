@@ -27,6 +27,7 @@ hnsw_index.rs:672-697).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Callable
 
@@ -47,6 +48,21 @@ def set_pallas_merge(enabled: bool) -> None:
     time — call `jax.clear_caches()` after flipping."""
     global _PALLAS_MERGE
     _PALLAS_MERGE = bool(enabled)
+
+
+# Fused beam body (ops/pallas_beam.py): dedup/compaction and merge/select
+# run as two Pallas kernels instead of ~30 XLA ops, eliminating the HBM
+# round trips of every (B, EL, ef) intermediate (round-4 floor measurement:
+# ~80% of the lock-step iteration was this body).  TPU default; CPU keeps
+# the original XLA formulation (the oracle path).
+_FUSED_BEAM = os.environ.get("VECDB_TPU_FUSED_BEAM", "1") == "1"
+
+
+def set_fused_beam(enabled: bool) -> None:
+    """A/B seam for the fused beam body.  Read at TRACE time — call
+    `jax.clear_caches()` after flipping."""
+    global _FUSED_BEAM
+    _FUSED_BEAM = bool(enabled)
 # node_dist_fn: (B, C) int32 ids -> (B, C) f32 distances.  Ids may be -1
 # (invalid): the fn may return ANY value there (callers mask), but must not
 # fault — and the Pallas DMA-gather implementation uses an all-invalid row
@@ -83,6 +99,87 @@ def _sorted_merge(beam_d, beam_i, beam_e, nd, nids, ef: int):
     )
 
 
+def beam_search_fused(
+    entry: Array,
+    node_dist_fn: NodeDistFn,
+    links_fn: LinksFn,
+    ef: int,
+    max_iters: int,
+    expand: int = 4,
+    ring_size: int = 512,
+    with_stats: bool = False,
+    use_kernels: bool | None = None,
+    interpret: bool = False,
+) -> tuple[Array, ...]:
+    """Lock-step beam search with the FUSED Pallas beam body.
+
+    Same contract as `beam_search` (sorted (B, ef) beam, reference
+    termination rule); the body is beam_pre -> node_dist_fn -> beam_post
+    (ops/pallas_beam.py) so only (B, ~W) state arrays cross HBM per
+    iteration.  The visited ring is the shift-register variant (see
+    pallas_beam's module docstring for the one documented divergence).
+
+    `use_kernels=False` runs the pure-XLA twins (CPU path / kernel
+    oracle); default picks kernels on TPU."""
+    from . import pallas_beam as PB
+
+    if use_kernels is None:
+        use_kernels = jax.default_backend() == "tpu"
+    if use_kernels:
+        pre = functools.partial(PB.beam_pre, interpret=interpret)
+        post = functools.partial(PB.beam_post, interpret=interpret)
+    else:
+        pre, post = PB.beam_pre_ref, PB.beam_post_ref
+
+    B = entry.shape[0]
+    E = expand
+    # probe the links shape once (outside the loop) to size the tile
+    L = links_fn(jnp.zeros((1, 1), jnp.int32)).shape[-1]
+    EL = ((E * L + 127) // 128) * 128
+    W = PB._pow2(max(ef, EL, 128))
+    R = ((max(ring_size, 128) + 127) // 128) * 128
+
+    entry_d = node_dist_fn(entry[:, None])[:, 0]  # (B,)
+    beam_d = jnp.full((B, W), jnp.inf, jnp.float32).at[:, 0].set(
+        jnp.where(entry >= 0, entry_d, jnp.inf))
+    beam_i = jnp.full((B, W), -1, jnp.int32).at[:, 0].set(entry)
+    beam_e = jnp.zeros((B, W), jnp.int32)
+    ring = jnp.full((B, R), -1, jnp.int32)
+    rows = jnp.ones((B,), jnp.int32)
+    # initial expansion select: one POST pass with an empty fresh tile
+    beam_d, beam_i, beam_e, selq = post(
+        beam_d, beam_i, beam_e,
+        jnp.full((B, W), jnp.inf, jnp.float32),
+        jnp.full((B, W), -1, jnp.int32), ef=ef, E=E,
+    )
+
+    def cond(state):
+        beam_d, beam_i, beam_e, ring, selq, rows, it = state
+        return (it < max_iters) & jnp.any(selq[:, :E] >= 0)
+
+    def body(state):
+        beam_d, beam_i, beam_e, ring, selq, rows, it = state
+        ids_e = selq[:, :E]  # (B, E)
+        nbrs = links_fn(jnp.maximum(ids_e, 0))  # (B, E, L)
+        nbrs = jnp.where(ids_e[:, :, None] >= 0, nbrs, -1).reshape(B, E * L)
+        if EL != E * L:
+            nbrs = jnp.pad(nbrs, ((0, 0), (0, EL - E * L)), constant_values=-1)
+        comp, ring, cnt = pre(beam_i, ring, selq, nbrs, E=E)
+        nd = node_dist_fn(comp)
+        nd = jnp.where(comp >= 0, nd, jnp.inf)
+        beam_d, beam_i, beam_e, selq = post(
+            beam_d, beam_i, beam_e, nd, comp, ef=ef, E=E)
+        rows = rows + cnt[:, 0]
+        return beam_d, beam_i, beam_e, ring, selq, rows, it + 1
+
+    beam_d, beam_i, beam_e, ring, selq, rows, _ = jax.lax.while_loop(
+        cond, body, (beam_d, beam_i, beam_e, ring, selq, rows, jnp.int32(0))
+    )
+    if with_stats:
+        return beam_d[:, :ef], beam_i[:, :ef], rows
+    return beam_d[:, :ef], beam_i[:, :ef]
+
+
 def beam_search(
     entry: Array,
     node_dist_fn: NodeDistFn,
@@ -100,6 +197,11 @@ def beam_search(
     with_stats additionally returns (B,) int32 NOVEL rows scored per query
     (the quantity the 16 ns/row DMA-issue ceiling prices — DESIGN.md 9c).
     """
+    if _FUSED_BEAM and jax.default_backend() == "tpu":
+        return beam_search_fused(
+            entry, node_dist_fn, links_fn, ef, max_iters,
+            expand=expand, ring_size=ring_size, with_stats=with_stats,
+        )
     B = entry.shape[0]
     E = expand
     R = ring_size

@@ -50,19 +50,21 @@ def _lane_iota(n: int) -> jax.Array:
     return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
 
-def _cmpx(vals, j: int, keep_hi):
+def _cmpx(vals, j: int, keep_hi, roll=pltpu.roll):
     """One compare-exchange stage: partner lane = lane ^ j.
 
     vals = (d, i, re); keys (d, re) strict total order (ranks distinct).
-    keep_hi: (1, n) bool — lanes that keep the larger key."""
+    keep_hi: (1, n) bool — lanes that keep the larger key.  `roll` is
+    `pltpu.roll` inside kernels and `jnp.roll` in the pure-XLA twins
+    (ops/pallas_beam.py) — identical semantics, out[i] = x[(i - s) mod n]."""
     d, i, re = vals
     n = d.shape[1]
     bit = (_lane_iota(n) & j) != 0
 
     def partner(x):
-        # pltpu.roll requires non-negative shifts: out[i] = x[(i - s) mod n]
-        fwd = pltpu.roll(x, n - j, axis=1)  # value from lane i + j
-        bwd = pltpu.roll(x, j, axis=1)  # value from lane i - j
+        # roll shifts are non-negative: out[i] = x[(i - s) mod n]
+        fwd = roll(x, n - j, axis=1)  # value from lane i + j
+        bwd = roll(x, j, axis=1)  # value from lane i - j
         return jnp.where(bit, bwd, fwd)
 
     pd, pi, pre = partner(d), partner(i), partner(re)
@@ -75,7 +77,7 @@ def _cmpx(vals, j: int, keep_hi):
     )
 
 
-def _bitonic_sort_desc(vals):
+def _bitonic_sort_desc(vals, roll=pltpu.roll):
     """Full bitonic sort, DESCENDING by (d, re), over the lane axis."""
     n = vals[0].shape[1]
     lane = _lane_iota(n)
@@ -87,7 +89,7 @@ def _bitonic_sort_desc(vals):
             bit = (lane & j) != 0
             # descending block: the low lane (bit=0) keeps the larger key
             keep_hi = bit ^ desc_here
-            vals = _cmpx(vals, j, keep_hi)
+            vals = _cmpx(vals, j, keep_hi, roll)
             j //= 2
         k *= 2
     return vals
