@@ -186,6 +186,14 @@ class BenchConfig:
     # knob is `-t` rayon multi-threading (examples/bench.rs:414-418); here
     # the scale axis is chips.
     mesh: int = 0
+    # chained = true: time the device-resident search step with batches
+    # chained through a data dependency (best of rounds), the methodology
+    # bench.py's committed matrices use — excludes host numpy conversion
+    # and the per-call tunnel sync, which dominate wall-clock at small N
+    # (~300 ms of fixed overhead per call vs ~1 ms of 10k-scan compute).
+    # Rows produced this way carry `chained = true` so artifacts from the
+    # two timing modes are never silently compared (VERDICT r4 weak-3).
+    chained: bool = False
 
     @classmethod
     def load_from_toml_file(cls, path: str | Path) -> "BenchConfig":
@@ -217,4 +225,5 @@ class BenchConfig:
             pq=pq,
             pq_cache=pq_cache,
             mesh=int(d.get("mesh", 0)),
+            chained=bool(d.get("chained", False)),
         )

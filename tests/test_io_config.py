@@ -177,6 +177,20 @@ data_path = "{test_p}"
     out = harness.ResultList.load(str(tmp_path / "results.toml"))
     assert "Flat" in out.results
     assert os.path.exists(tmp_path / "results.html")
+    assert "chained" not in out.results["Flat"]  # wall-clock row: no flag
+
+    # chained device-resident timing mode (VERDICT r4 item 2b): same
+    # results, row flagged `chained = true` so the two methodologies are
+    # never silently compared
+    cfg.chained = True
+    res2 = harness.run_bench(cfg)
+    assert res2["recall"][0] == 1.0
+    out2 = harness.ResultList.load(str(tmp_path / "results.toml"))
+    assert out2.results["Flat"].get("chained") is True
+    # round-trip through save preserves the flag
+    out2.save(str(tmp_path / "results.toml"))
+    out3 = harness.ResultList.load(str(tmp_path / "results.toml"))
+    assert out3.results["Flat"].get("chained") is True
 
 
 def test_make_dataset_device_matches_shape():
