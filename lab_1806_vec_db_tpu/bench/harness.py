@@ -171,9 +171,34 @@ def load_or_build_sharded(config: BenchConfig, base: np.ndarray, seed: int = 42)
         "IVF": S.ShardedIVFIndex,
     }[algo]
     if config.pq is not None:
-        if algo != "Flat":
-            raise ValueError("mesh sweeps support PQ on the Flat algorithm")
-        cls = S.ShardedPQFlatIndex
+        if algo == "IVF":
+            # IVF + PQ on the mesh = the sharded codes tier (VERDICT r4
+            # item 4): per-chip cluster-sorted code segments + binned ADC
+            # + all-gather top-k merge; ef is n_probes per the reference's
+            # IVF convention (ivf_index.rs:137-142)
+            cls = S.ShardedIVFPQIndex
+        elif algo == "Flat":
+            cls = S.ShardedPQFlatIndex
+        else:
+            raise ValueError("mesh sweeps support PQ on Flat or IVF")
+    if cls is S.ShardedIVFPQIndex:
+        cache = config.index_cache
+        if cache and os.path.exists(cache):
+            t0 = time.perf_counter()
+            index = S.ShardedIVFPQIndex.load(cache, S.make_mesh(config.mesh),
+                                             external_base=base)
+            print(f"Loaded sharded IVFPQ index from {cache} in {time.perf_counter()-t0:.2f}s")
+            return index, None
+        t0 = time.perf_counter()
+        nlist = config.algorithm.ivf.k if config.algorithm.ivf else 64
+        index = S.ShardedIVFPQIndex(
+            S.make_mesh(config.mesh), base, config.dist, nlist=nlist,
+            pq_config=config.pq, seed=seed)
+        build_s = time.perf_counter() - t0
+        print(f"Built sharded IVFPQ index over {config.mesh} devices in {build_s:.2f}s")
+        if cache:
+            index.save(cache)
+        return index, build_s
     if cache and os.path.exists(cache):
         t0 = time.perf_counter()
         index = cls.load(cache, mesh, external_base=base)
@@ -319,6 +344,8 @@ def run_bench(
                 q = test[s : s + B]
                 if isinstance(index, S.ShardedHNSWIndex):
                     _, ids = index.knn_with_ef_batch(q, k, ef)
+                elif isinstance(index, S.ShardedIVFPQIndex):
+                    _, ids = index.knn_batch(q, k, n_probes=ef)
                 elif isinstance(index, S.ShardedIVFIndex):
                     _, ids = index.knn_batch(q, k, n_probes=ef)
                 elif isinstance(index, S.ShardedPQFlatIndex):

@@ -85,6 +85,7 @@ def _sorted_layout(
     posting: np.ndarray, posting_len: np.ndarray, k: int,
     cap_quantile: float = _LCAP_QUANTILE,
     pad_mult: int = _LPAD_MULT,
+    force_lpad: int | None = None,
 ) -> tuple[int, np.ndarray, np.ndarray]:
     """Cluster-sorted mirror layout for the binned scan.
 
@@ -93,10 +94,16 @@ def _sorted_layout(
     pads); lists are capped at the padded `_LCAP_QUANTILE` length and the
     tails spill into the shared overflow segment `ov_ids` (scanned by every
     query, so spilled rows stay findable regardless of probe choice).
+    `force_lpad` overrides the quantile-derived segment length — the
+    sharded IVF-PQ tier forces every shard onto the max shard's lpad so
+    per-shard states stack into one mesh-sharded array.
     """
     lens = posting_len
-    l_q = int(np.quantile(lens, cap_quantile)) if len(lens) else 1
-    lpad = max(pad_mult, ((l_q + pad_mult - 1) // pad_mult) * pad_mult)
+    if force_lpad is not None:
+        lpad = force_lpad
+    else:
+        l_q = int(np.quantile(lens, cap_quantile)) if len(lens) else 1
+        lpad = max(pad_mult, ((l_q + pad_mult - 1) // pad_mult) * pad_mult)
     perm_pad = np.full((k * lpad,), -1, dtype=np.int32)
     ov_ids = []
     for l in range(k):

@@ -56,6 +56,68 @@ _BLOCKPAD = 512  # overflow segment padded to the chunk-min tile multiple
 
 
 
+def _layout_encode(fill, n, pq, assign, nlist, seed, block_rows,
+                   force_lpad=None, ov_pad_min=0, progress=None):
+    """Cluster-sorted layout + packed-code encode for one row range.
+
+    Shared by the single-chip build and the per-shard builds of
+    parallel.sharded.ShardedIVFPQIndex (which forces a common lpad and
+    overflow capacity so per-shard states stack into mesh-sharded
+    arrays).  Returns (lpad, codes_main (nlist*lpad, cw) device,
+    codes_ov (ov_pad, cw) device, slot_id (nlist*lpad + ov_pad,) host,
+    lens (nlist,) host, ov_count)."""
+    posting, counts = _build_posting(assign, nlist)
+    # cap at the .95 quantile (not the binned-int8 path's .9): an
+    # overflow row is scanned by EVERY query (B columns) where a padded
+    # list row costs only its bin's qb columns — at qb=32/B=1000 the
+    # spill is ~32x costlier per row than the padding it avoids, but
+    # measured padding at .98 (1.78x mean) cost more than the ~1%
+    # spill this cap leaves
+    lpad, perm_pad, ov_h = _sorted_layout(posting, counts, nlist,
+                                          cap_quantile=0.95,
+                                          force_lpad=force_lpad)
+    kl = nlist * lpad
+    # overflow rows are chunk-min scanned by every query: shuffle them
+    # so storage order is de-clustered (they arrive in posting order)
+    ov_h = np.asarray(ov_h, np.int32)
+    np.random.default_rng(seed ^ 0x0F10).shuffle(ov_h)
+    ov_pad = max(ov_pad_min, -(-max(len(ov_h), 1) // _BLOCKPAD) * _BLOCKPAD)
+    slots_total = kl + ov_pad
+    slot_id = np.full(slots_total, -1, np.int32)
+    slot_id[:kl] = perm_pad
+    slot_id[kl:kl + len(ov_h)] = ov_h
+    # pad slots get filler ids so device gathers stay in range
+    pad_slots = np.flatnonzero(slot_id < 0)
+    slot_id[pad_slots] = 0
+    # invert: slot of each original row
+    inv = np.empty(n, np.int32)
+    valid_slots = np.flatnonzero(
+        np.concatenate([perm_pad >= 0, np.ones(len(ov_h), bool),
+                        np.zeros(ov_pad - len(ov_h), bool)]))
+    ids_of_valid = np.concatenate([perm_pad[perm_pad >= 0], ov_h])
+    inv[ids_of_valid] = valid_slots
+    inv_dev = jnp.asarray(inv)
+
+    m = pq.config.m
+    codes = jnp.zeros((slots_total, (m + 1) // 2), jnp.uint8)
+    gidx, gmask = jnp.asarray(pq._gidx), jnp.asarray(pq._gmask)
+    cb = jnp.asarray(pq.codebooks)
+    for row0 in range(0, n, block_rows):
+        rows = min(block_rows, n - row0)
+        v = fill(row0, rows)
+        inv_rows = jax.lax.dynamic_slice(inv_dev, (row0,), (rows,))
+        codes = _pack_scatter_jit(
+            codes, pq._transform_dev(v), inv_rows, gidx, gmask, cb, dist=pq.config.dist)
+        del v
+        if progress is not None:
+            progress((n + min(row0 + rows, n)) // 2)
+    jax.block_until_ready(codes)
+    # split ONCE at build: an in-jit codes[:kl] slice for the binned
+    # kernel copies the whole 2.6 GB table every batch (~6.5 ms at 10M)
+    return (lpad, codes[:kl], codes[kl:], slot_id,
+            np.minimum(counts, lpad), len(ov_h))
+
+
 class IVFPQIndex:
     """Codes-resident IVF-PQ (see module docstring)."""
 
@@ -155,60 +217,14 @@ class IVFPQIndex:
             if progress is not None:
                 progress(min(row0 + rows, n) // 2)
 
-        posting, counts = _build_posting(assign, nlist)
-        # cap at the .95 quantile (not the binned-int8 path's .9): an
-        # overflow row is scanned by EVERY query (B columns) where a padded
-        # list row costs only its bin's qb columns — at qb=32/B=1000 the
-        # spill is ~32x costlier per row than the padding it avoids, but
-        # measured padding at .98 (1.78x mean) cost more than the ~1%
-        # spill this cap leaves
-        lpad, perm_pad, ov_h = _sorted_layout(posting, counts, nlist,
-                                              cap_quantile=0.95)
-        kl = nlist * lpad
-        # overflow rows are chunk-min scanned by every query: shuffle them
-        # so storage order is de-clustered (they arrive in posting order)
-        ov_h = np.asarray(ov_h, np.int32)
-        np.random.default_rng(seed ^ 0x0F10).shuffle(ov_h)
-        ov_pad = -(-max(len(ov_h), 1) // _BLOCKPAD) * _BLOCKPAD
-        slots_total = kl + ov_pad
-        slot_id = np.full(slots_total, -1, np.int32)
-        slot_id[:kl] = perm_pad
-        slot_id[kl:kl + len(ov_h)] = ov_h
-        # pad slots get filler ids so device gathers stay in range
-        pad_slots = np.flatnonzero(slot_id < 0)
-        slot_id[pad_slots] = 0
-        # invert: slot of each original row
-        inv = np.empty(n, np.int32)
-        valid_slots = np.flatnonzero(
-            np.concatenate([perm_pad >= 0, np.ones(len(ov_h), bool),
-                            np.zeros(ov_pad - len(ov_h), bool)]))
-        ids_of_valid = np.concatenate([perm_pad[perm_pad >= 0], ov_h])
-        inv[ids_of_valid] = valid_slots
-        inv_dev = jnp.asarray(inv)
-
+        lpad, codes_main, codes_ov, slot_id, lens, ov_count = _layout_encode(
+            fill, n, pq, assign, nlist, seed, block_rows, progress=progress)
         self = cls(pq, np.asarray(centroids_dev), n, dim, dist, lpad,
-                   np.minimum(counts, lpad), len(ov_h), fill=fill,
+                   lens, ov_count, fill=fill,
                    traced_gen=traced_gen, row_gen=row_gen,
                    block_rows=block_rows)
-
-        m = pq.config.m
-        codes = jnp.zeros((slots_total, (m + 1) // 2), jnp.uint8)
-        gidx, gmask = jnp.asarray(pq._gidx), jnp.asarray(pq._gmask)
-        cb = jnp.asarray(pq.codebooks)
-        for row0 in range(0, n, block_rows):
-            rows = min(block_rows, n - row0)
-            v = fill(row0, rows)
-            inv_rows = jax.lax.dynamic_slice(inv_dev, (row0,), (rows,))
-            codes = _pack_scatter_jit(
-                codes, pq._transform_dev(v), inv_rows, gidx, gmask, cb, dist)
-            del v
-            if progress is not None:
-                progress((n + min(row0 + rows, n)) // 2)
-        jax.block_until_ready(codes)
-        # split ONCE at build: an in-jit codes[:kl] slice for the binned
-        # kernel copies the whole 2.6 GB table every batch (~6.5 ms at 10M)
-        self._codes = codes[:kl]
-        self._codes_ov = codes[kl:]
+        self._codes = codes_main
+        self._codes_ov = codes_ov
         self._slot_id = jnp.asarray(slot_id)
         return self
 
@@ -356,10 +372,16 @@ class IVFPQIndex:
 
 def _search_candidates(q, lookup, q_norms, centroids, codes, codes_ov,
                        slot_id, lens_dev, cb_sq, *, k, n_probes, ef, qb,
-                       chunk, dist, lpad, ov_count, nlist, interpret):
+                       chunk, dist, lpad, ov_count, nlist, interpret,
+                       ov_valid=None):
     """Steps 1-6 of the IVF-PQ search (probe -> bin -> binned ADC ->
     survivor gather -> overflow -> top-ef).  Pure jax; traced either
-    standalone (unfused path) or inside the fused program."""
+    standalone (unfused path) or inside the fused program.
+
+    `ov_valid` (traced int32, default = ov_count) is the VALID overflow
+    row count when `ov_count` is only a static capacity — the sharded
+    tier pads every shard's overflow segment to a common capacity and
+    passes each shard's true count here."""
     from ..ops import pallas_adc as PA
 
     B = q.shape[0]
@@ -421,8 +443,9 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, codes_ov,
         ch = 32
         while ch > 1 and ov_count < ch * 8 * k_ov:
             ch //= 2
+        ovv = jnp.int32(ov_count) if ov_valid is None else ov_valid
         d_ov, s_ov = PA.adc_scan_chunkmin(
-            lookup, ov_codes, ov_slots, jnp.int32(ov_count), cb_sq,
+            lookup, ov_codes, ov_slots, ovv, cb_sq,
             q_norms, k_ov, dist, packed=True, chunk=ch,
             interpret=interpret,
         )

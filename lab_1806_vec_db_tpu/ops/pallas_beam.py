@@ -102,12 +102,15 @@ def _dedup_compact(nbrs, beam_i, ring, EL: int, W: int, roll=pltpu.roll):
     dup = jnp.any(
         (nbrs[:, :, None] == nbrs[:, None, :]) & tri[None, :, :], axis=2
     )
-    fresh = valid & ~in_prev & ~dup
-    crank = _lane_cumsum(fresh.astype(jnp.int32), roll)  # (BQ, EL) 1-based
+    fresh32 = (valid & ~in_prev & ~dup).astype(jnp.int32)
+    crank = _lane_cumsum(fresh32, roll)  # (BQ, EL) 1-based
     count = jnp.max(crank, axis=1, keepdims=True)  # (BQ, 1)
-    # novel-first compaction: fresh id with running rank j+1 -> dst lane j
+    # novel-first compaction: fresh id with running rank j+1 -> dst lane j.
+    # The fresh mask rides as int32 through the minor-dim insert: Mosaic
+    # only supports non-no-op minor-dim reshapes for 32-bit types (an i1
+    # `fresh[:, :, None]` fails to compile).
     dst = jax.lax.broadcasted_iota(jnp.int32, (EL, EL), 1)  # dst lane per column
-    hit = fresh[:, :, None] & (crank[:, :, None] == dst[None, :, :] + 1)
+    hit = (crank[:, :, None] == dst[None, :, :] + 1) & (fresh32[:, :, None] > 0)
     comp_el = jnp.max(
         jnp.where(hit, nbrs[:, :, None], jnp.int32(-1)), axis=1
     )  # (BQ, EL)

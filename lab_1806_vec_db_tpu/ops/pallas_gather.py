@@ -157,6 +157,111 @@ def _gather_dist_kernel(
     out_ref[0] = jnp.where(idv_ref[0] >= 0, d, jnp.inf)
 
 
+_WAVE_MQ = 16  # finer skip granularity than the 1-query kernel's 32: the
+# beam search's mid-iteration tiles hold ~40 novel rows of r=128, so wave
+# rounding at 32 issued ~1.5x the novel count; at 16 it is ~1.15x
+
+
+def _gather_dist_kernel_mq(
+    ids_ref,  # SMEM (BQ, r) int32 — DMA source ids (scalar-readable)
+    nw_ref,  # SMEM (BQ, 1) int32 — active-wave count per query (prefix)
+    idv_ref,  # VMEM (BQ, r) int32 — same ids, vector copy for masking
+    qn_ref,  # VMEM (BQ, 128) f32 — |q| broadcast rows (cosine only)
+    q_ref,  # VMEM (BQ, SR, 128) f32 — queries in slab layout
+    base_rs,  # ANY (N*SR, 128) — row-slab base, DMA'd manually
+    out_ref,  # VMEM (BQ, r) f32
+    rows,  # scratch VMEM (BQ*r*SR, 128)
+    sem,  # scratch DMA sem ()
+    *,
+    dist: str,
+    r: int,
+    sr: int,
+    bq: int,
+):
+    """Multi-query variant of `_gather_dist_kernel`: BQ queries per grid
+    step, so the per-grid-step fixed cost (measured ~1.3 us/step — 1.3 ms
+    of pure overhead per lock-step beam iteration at B=1000) is amortized
+    BQ-fold, and the distance epilogue runs at full sublane utilization on
+    a clean (BQ, r) output tile instead of (1, r, 1).
+
+    Wave skip is a DYNAMIC LOOP over each query's active-wave PREFIX
+    (nw_ref) rather than a static unroll of per-wave branch guards: the
+    per-wave `@pl.when` form emits n_waves*BQ branch regions whose
+    fall-through cost alone measured ~0.4 ms/iteration at B=1000.  Callers
+    with compacted ids (the beam search) get exact prefix counts; callers
+    with scattered validity get the covering prefix (stale slots inside it
+    issue a harmless clamped row-0 copy).  All copies signal ONE byte-
+    counted semaphore; the wait pass drains the same wave sizes, and since
+    every wait precedes the epilogue, the final wait cannot complete until
+    every issued byte has landed — per-copy attribution is irrelevant."""
+    n_waves = (r + _WAVE_MQ - 1) // _WAVE_MQ
+
+    def issue_q(qi):
+        def wave(w, c):
+            lo = w * _WAVE_MQ
+
+            def s(j, cc):
+                rid = jnp.maximum(ids_ref[qi, lo + j], 0)
+                pltpu.make_async_copy(
+                    base_rs.at[pl.ds(rid * sr, sr)],
+                    rows.at[pl.ds((qi * r + lo + j) * sr, sr)],
+                    sem,
+                ).start()
+                return cc
+
+            jax.lax.fori_loop(0, _WAVE_MQ, s, 0, unroll=_WAVE_MQ)
+            return c
+
+        jax.lax.fori_loop(0, nw_ref[qi, 0], wave, 0)
+
+    def wait_q(qi):
+        def wave(w, c):
+            lo = w * _WAVE_MQ
+            sl = rows.at[pl.ds((qi * r + lo) * sr, _WAVE_MQ * sr)]
+            pltpu.make_async_copy(sl, sl, sem).wait()
+            return c
+
+        jax.lax.fori_loop(0, nw_ref[qi, 0], wave, 0)
+
+    for qi in range(bq):  # static: issue everything first (all in flight)
+        issue_q(qi)
+    for qi in range(bq):
+        wait_q(qi)
+
+    # Distance epilogue, chunked over candidate slots with active-prefix
+    # skip: slots past every query's active prefix were never fetched, so
+    # their chunks keep the +inf fill and cost nothing.  Mid-search beam
+    # tiles hold ~40 novel slots of r=128 (epilogue ~3x cheaper) and a
+    # fully-converged step skips the epilogue outright.
+    mx = nw_ref[0, 0]
+    for qi in range(1, bq):
+        mx = jnp.maximum(mx, nw_ref[qi, 0])
+    out_ref[:] = jnp.full(out_ref.shape, jnp.inf, jnp.float32)
+    q = q_ref[:]  # (BQ, SR, 128)
+    rows4 = rows[:].reshape(bq, r, sr, 128)
+    CH = 32  # slots per chunk (= 2 waves; r is a multiple of 16)
+    for c0 in range(0, r, CH):
+        c1 = min(c0 + CH, r)
+
+        @pl.when(c0 < mx * _WAVE_MQ)
+        def _(c0=c0, c1=c1):
+            v = rows4[:, c0:c1].astype(jnp.float32)
+            if dist == "l2sqr":
+                diff = v - q[:, None]
+                d = jnp.sum(jnp.sum(diff * diff, axis=3), axis=2)  # (BQ, c1-c0)
+            else:
+                dots = jnp.sum(jnp.sum(v * q[:, None], axis=3), axis=2)
+                vn = jnp.sqrt(jnp.sum(jnp.sum(v * v, axis=3), axis=2))
+                d = 1.0 - dots / jnp.maximum(vn * qn_ref[:, :1], 1e-10)
+            out_ref[:, c0:c1] = jnp.where(idv_ref[:, c0:c1] >= 0, d, jnp.inf)
+
+
+def _mq_bq(r: int, sr: int) -> int:
+    """Queries per grid step, sized so the row scratch stays ~<=4 MB."""
+    per_q = r * sr * 128 * 4
+    return max(1, min(8, (4 * 1024 * 1024) // max(per_q, 1)))
+
+
 @functools.partial(jax.jit, static_argnames=("dist", "interpret"))
 def gather_dists_rs(
     queries: jax.Array,  # (B, dim) f32
@@ -167,8 +272,73 @@ def gather_dists_rs(
 ) -> jax.Array:
     """Exact f32 distances base[ids[b, j]] <-> queries[b] -> (B, r) f32.
 
-    Invalid ids (< 0) produce +inf.  One grid step per query; the r row-slab
-    fetches are issued as concurrent DMAs.
+    Invalid ids (< 0) produce +inf.  BQ queries per grid step (see
+    `_gather_dist_kernel_mq`); the row-slab fetches are issued as
+    concurrent DMAs with per-wave skip."""
+    B, dim = queries.shape
+    dim_pad = rerank_dim_pad(dim)
+    sr = dim_pad // 128
+    r = ids.shape[1]
+    r_in = r
+    if r % 16:
+        # lane-align the candidate axis to the wave size
+        pad = 16 - r % 16
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        r = r + pad
+    bq = _mq_bq(r, sr)
+    bp = ((B + bq - 1) // bq) * bq
+    if bp != B:
+        queries = jnp.pad(queries, ((0, bp - B), (0, 0)))
+        ids = jnp.pad(ids, ((0, bp - B), (0, 0)), constant_values=-1)
+    q = queries.astype(jnp.float32)
+    if dim_pad != dim:
+        q = jnp.pad(q, ((0, 0), (0, dim_pad - dim)))
+    q_norms = jnp.broadcast_to(
+        jnp.sqrt(jnp.sum(q * q, axis=1))[:, None], (bp, 128)
+    )
+    q = q.reshape(bp, sr, 128)
+    n_waves = (r + _WAVE_MQ - 1) // _WAVE_MQ
+    act = jnp.any(ids.reshape(bp, n_waves, _WAVE_MQ) >= 0, axis=2)
+    # covering active-wave prefix (== exact count for compacted tiles)
+    nw = jnp.max(
+        jnp.where(act, jnp.arange(1, n_waves + 1, dtype=jnp.int32)[None, :], 0),
+        axis=1, keepdims=True,
+    )
+    kernel = functools.partial(
+        _gather_dist_kernel_mq, dist=dist, r=r, sr=sr, bq=bq
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // bq,),
+        in_specs=[
+            pl.BlockSpec((bq, r), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, r), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, sr, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((bq, r), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, r), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bq * r * sr, 128), base_rs.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(ids, nw, ids, q_norms, q, base_rs)
+    return out[:B, :r_in]
+
+
+@functools.partial(jax.jit, static_argnames=("dist", "interpret"))
+def gather_dists_rs_1q(
+    queries: jax.Array,  # (B, dim) f32
+    base_rs: jax.Array,  # (N*SR, 128) f32 from prepare_rerank_base
+    ids: jax.Array,  # (B, r) int32, -1 padded
+    dist: str,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-query-per-grid-step variant (the original kernel), kept for
+    A/B measurement and as a fallback envelope.
     """
     B, dim = queries.shape
     dim_pad = rerank_dim_pad(dim)

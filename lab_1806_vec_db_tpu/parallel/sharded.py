@@ -817,3 +817,351 @@ def kmeans_step_sharded(data, n_local, centroids, dist, mesh):
         return jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), c)
 
     return kernel(data, n_local, centroids)
+
+
+# ---------------------------------------------------------------------------
+# Sharded IVF-PQ: the codes tier on the mesh (VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "n_probes", "ef", "qb", "chunk", "dist", "lpad",
+                     "ov_cap", "nlist", "mesh", "shard", "draw", "interpret"),
+)
+def _sharded_knn_ivfpq(
+    q, codes, codes_ov, slot_id, lens, ov_valid, centroids, cbooks, gidx,
+    gmask, cb_sq, params, key,
+    *, k, n_probes, ef, qb, chunk, dist, lpad, ov_cap, nlist, mesh, shard,
+    draw, interpret,
+):
+    """Sharded IVF-PQ search: per-chip probe -> bin -> binned chunk-min ADC
+    over that chip's cluster-sorted code segments -> overflow scan ->
+    top-ef -> exact per-shard refine (row-addressable generator on GLOBAL
+    ids), then an ICI all-gather top-k merge.
+
+    The coarse centroids and PQ codebooks are REPLICATED (trained once,
+    globally); only the code segments, slot maps and list lengths are
+    sharded — the per-row state that actually scales with N.  Heavy
+    traffic (code streaming, one-hot ADC, candidate regeneration) stays
+    shard-local; only the per-chip (B, k) bests ride ICI — the same
+    pattern as _sharded_knn_ivf, composed with models/ivfpq.py's search
+    body (SURVEY §5/§7 scale story; reference scale anchors
+    ivf_index.rs:143-154 + pq_table.rs ADC)."""
+    from ..models.ivfpq import _search_candidates
+    from ..models.pq_codes import _refine_rows_jit
+    from ..ops import pq as PQ_OPS
+
+    kk = min(k, ef)
+    pspec = jax.tree.map(lambda x: P(*([None] * jnp.ndim(x))), params)
+    key_spec = P(None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),
+            P("data", None, None),
+            P("data", None, None),
+            P("data", None),
+            P("data", None),
+            P("data"),
+            P(None, None),
+            P(None, None, None),
+            P(None),
+            P(None),
+            P(None, None),
+            pspec,
+            key_spec,
+        ),
+        out_specs=(P(None, None), P(None, None)),
+    )
+    def kernel(q, codes_l, ov_l, sid_l, lens_l, ovv_l, cents, cbooks, gidx,
+               gmask, cb_sq, params, key):
+        B = q.shape[0]
+        qf = q.astype(jnp.float32)
+        qg = PQ_OPS.regroup(qf, gidx, gmask)
+        lookup = PQ_OPS.build_lookup(qg, cbooks, dist)
+        if dist == "cosine":
+            q_norms = jnp.sqrt(jnp.sum(qf * qf, axis=-1))
+        else:
+            q_norms = jnp.zeros(B, jnp.float32)
+        td1, ti1 = _search_candidates(
+            qf, lookup, q_norms, cents, codes_l[0], ov_l[0], sid_l[0],
+            lens_l[0], cb_sq, k=kk, n_probes=n_probes, ef=ef, qb=qb,
+            chunk=chunk, dist=dist, lpad=lpad, ov_count=ov_cap,
+            nlist=nlist, interpret=interpret, ov_valid=ovv_l[0],
+        )
+        offset = jax.lax.axis_index("data").astype(jnp.int32) * shard
+        gids = jnp.where(ti1 >= 0, ti1 + offset, -1)
+        if draw is not None:
+            d_ex = _refine_rows_jit(params, key, gids, qf,
+                                    cos=dist == "cosine", draw_rows=draw)
+            # spilled/absent refine entries keep ADC order (ADVICE r4 #1)
+            d_ex = jnp.where(jnp.isfinite(d_ex), d_ex, td1)
+        else:
+            d_ex = td1
+        dd, ii = T.topk_smallest(d_ex, gids, kk)
+        all_d = jax.lax.all_gather(dd, "data", axis=1).reshape(B, -1)
+        all_i = jax.lax.all_gather(ii, "data", axis=1).reshape(B, -1)
+        return T.topk_smallest(jnp.where(all_i >= 0, all_d, jnp.inf), all_i, k)
+
+    return kernel(q, codes, codes_ov, slot_id, lens, ov_valid, centroids,
+                  cbooks, gidx, gmask, cb_sq, params, key)
+
+
+class ShardedIVFPQIndex:
+    """IVF-PQ codes tier sharded over the mesh's data axis.
+
+    Build: ONE global PQ table + ONE global coarse quantizer (trained on a
+    strided sample of the whole set — replicated, mesh-independent), then
+    per-chip cluster-sorted packed-code segments over each chip's
+    contiguous row shard, all forced onto a COMMON (lpad, overflow
+    capacity) so the per-shard states stack into mesh-sharded arrays.
+    8 x 20M rows = 160M-row composition this tier exists for (DESIGN 9e).
+
+    Checkpoints store global-order state (codebooks, centroids, the (n,)
+    assignment vector) and re-place onto ANY mesh size by rebuilding the
+    per-shard layouts — the ShardedIVFIndex discipline."""
+
+    def __init__(self, mesh: Mesh, base, dist: str, nlist: int = 64,
+                 pq_config=None, sample_rows: int = 25_000, seed: int = 0,
+                 block_rows: int = 131072, row_gen=None):
+        base = np.asarray(base, np.float32)
+        fill = lambda row0, rows: jnp.asarray(base[row0:row0 + rows])
+        n, dim = base.shape
+        if row_gen is None:
+            # materialized-base exact refine: the rows ride as generator
+            # PARAMS (a jit argument, replicated over the mesh) — never a
+            # trace-time closure capture (the tunnel-constant trap)
+            base_j = jnp.asarray(base)
+
+            def _draw_rows(params, key, row_ids):
+                (b,) = params
+                return b[jnp.clip(row_ids, 0, b.shape[0] - 1)]
+
+            row_gen = (_draw_rows, (base_j,), jax.random.PRNGKey(0))
+        self._init_from_fill(mesh, fill, int(n), int(dim), dist, nlist,
+                             pq_config, sample_rows, seed, block_rows,
+                             row_gen)
+
+    @classmethod
+    def from_fill(cls, mesh: Mesh, fill, n: int, dim: int, dist: str,
+                  nlist: int = 64, pq_config=None, sample_rows: int = 25_000,
+                  seed: int = 0, block_rows: int = 131072, row_gen=None):
+        self = cls.__new__(cls)
+        self._init_from_fill(mesh, fill, n, dim, dist, nlist, pq_config,
+                             sample_rows, seed, block_rows, row_gen)
+        return self
+
+    def _init_from_fill(self, mesh, fill, n, dim, dist, nlist, pq_config,
+                        sample_rows, seed, block_rows, row_gen):
+        from ..models.ivfpq import IVFPQIndex
+        from ..models.pq_table import PQTable
+        from ..ops import kmeans as KM
+        from ..utils.config import PQConfig
+
+        D.check_dist(dist)
+        self.mesh = mesh
+        self.dist = dist
+        self.n, self.dim = int(n), int(dim)
+        self.nlist = int(nlist)
+        self.seed = int(seed)
+        self._row_gen = row_gen
+        self._block_rows = int(block_rows)
+        if pq_config is None:
+            pq_config = PQConfig(n_bits=4, m=-(-dim // 3), dist=dist,
+                                 k_means_size=sample_rows)
+        if pq_config.n_bits != 4:
+            raise ValueError("the IVF-PQ tier serves 4-bit (packed) tables")
+
+        # global training sample (strided over the whole set)
+        step = max(1, n // max(sample_rows, 1))
+        parts, got = [], 0
+        for row0 in range(0, n, self._block_rows):
+            rows = min(self._block_rows, n - row0)
+            v = fill(row0, rows)
+            parts.append(v[::step][: max(1, rows // step)])
+            got += parts[-1].shape[0]
+            del v
+            if got >= sample_rows:
+                break
+        sample = jnp.concatenate(parts, axis=0)[:sample_rows]
+        del parts
+        self.pq = PQTable.train(sample, pq_config, seed=seed)
+        n_train = min(sample.shape[0], n)
+        cents = KM.kmeans_fit(
+            jax.random.PRNGKey(seed + 2), sample, jnp.int32(n_train),
+            nlist, 12, 1e-4, dist,
+        )
+        del sample
+        self.centroids = np.asarray(cents)
+        # global pass A: coarse assignment for every row
+        assign = np.empty(n, np.int32)
+        for row0 in range(0, n, self._block_rows):
+            rows = min(self._block_rows, n - row0)
+            v = fill(row0, rows)
+            assign[row0:row0 + rows] = np.asarray(KM.find_nearest(v, cents, dist))
+            del v
+        self._assign = assign
+        self._fill = fill
+        self._place(fill)
+
+    def _place(self, fill):
+        """Per-shard layout+encode onto the current mesh (common lpad/ov
+        capacity), then device_put the stacked state with P('data', ...)."""
+        from ..models.ivfpq import _layout_encode, _BLOCKPAD
+        from ..models.ivf import _build_posting, _sorted_layout
+        from ..ops import pq as PQ_OPS
+
+        n_dev = self.mesh.devices.size
+        shard = -(-self.n // n_dev)
+        self.shard = shard
+        lo_hi = [(min(c * shard, self.n), min((c + 1) * shard, self.n))
+                 for c in range(n_dev)]
+        # pass 1: natural lpad + overflow size per shard -> common maxima
+        lpads, ov_lens = [], []
+        for lo, hi in lo_hi:
+            a = self._assign[lo:hi]
+            posting, counts = _build_posting(a, self.nlist)
+            lp, _, ov = _sorted_layout(posting, counts, self.nlist,
+                                       cap_quantile=0.95)
+            lpads.append(lp)
+            ov_lens.append(len(ov))
+        lpad = max(lpads)
+        ov_pad = max(-(-max(max(ov_lens), 1) // _BLOCKPAD) * _BLOCKPAD,
+                     _BLOCKPAD)
+        # pass 2: encode each shard at the common layout
+        cw = (self.pq.config.m + 1) // 2
+        kl = self.nlist * lpad
+        codes = np.zeros((n_dev, kl, cw), np.uint8)
+        codes_ov = np.zeros((n_dev, ov_pad, cw), np.uint8)
+        slot_id = np.zeros((n_dev, kl + ov_pad), np.int32)
+        lens = np.zeros((n_dev, self.nlist), np.int32)
+        ov_valid = np.zeros((n_dev,), np.int32)
+        for c, (lo, hi) in enumerate(lo_hi):
+            if hi <= lo:
+                continue
+            fill_s = (lambda lo: lambda row0, rows: fill(lo + row0, rows))(lo)
+            lp, cm, co, sid, ln, ovc = _layout_encode(
+                fill_s, hi - lo, self.pq, self._assign[lo:hi], self.nlist,
+                self.seed + 17 * c, self._block_rows, force_lpad=lpad,
+                ov_pad_min=ov_pad)
+            codes[c] = np.asarray(cm)
+            codes_ov[c, : co.shape[0]] = np.asarray(co)
+            slot_id[c] = sid
+            lens[c] = ln
+            ov_valid[c] = ovc
+        self.lpad, self.ov_cap = lpad, ov_pad
+        sh = lambda *spec: NamedSharding(self.mesh, P(*spec))
+        self._codes = jax.device_put(codes, sh("data", None, None))
+        self._codes_ov = jax.device_put(codes_ov, sh("data", None, None))
+        self._slot_id = jax.device_put(slot_id, sh("data", None))
+        self._lens = jax.device_put(lens, sh("data", None))
+        self._ov_valid = jax.device_put(ov_valid, sh("data"))
+        repl = NamedSharding(self.mesh, P(*[None] * 2))
+        self._cents_dev = jax.device_put(self.centroids, repl)
+        self._cbooks = jnp.asarray(self.pq.codebooks)
+        self._gidx = jnp.asarray(self.pq._gidx)
+        self._gmask = jnp.asarray(self.pq._gmask)
+        self._cb_sq = PQ_OPS.centroid_sqnorm_cache(self._cbooks)
+
+    def index_bytes(self) -> int:
+        total = self.pq.device_bytes()
+        for a in (self._codes, self._codes_ov, self._slot_id, self._lens):
+            total += int(a.nbytes)
+        return total
+
+    def knn_batch(self, queries, k: int, n_probes: int = 8, ef: int = 128,
+                  qb: int | None = None, chunk: int = 16,
+                  interpret: bool | None = None):
+        if interpret is None:
+            # the ADC kernels are Pallas: interpret them off-TPU so the
+            # CPU-mesh product surface (harness `mesh = N` configs, tests)
+            # works without flags
+            interpret = jax.default_backend() == "cpu"
+        # the chunk-min keeps one survivor per `chunk` consecutive SLOTS of
+        # each list segment: short lists (small datasets / many shards)
+        # need a denser survivor grid or a query's own list cannot yield
+        # top-k candidates.  Scale by the mean VALID rows per list so ~16+
+        # survivors cover each typically-occupied prefix.
+        mean_len = max(1, self.n // (self.mesh.devices.size * self.nlist))
+        chunk = max(1, min(chunk, mean_len // 16))
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        B = q.shape[0]
+        n_probes = min(n_probes, self.nlist)
+        if qb is None:
+            mean = B * n_probes / self.nlist
+            qb = int(min(512, max(32, -(-2 * mean // 32) * 32)))
+        if self._row_gen is not None:
+            draw, params, key = self._row_gen
+        else:
+            draw, params, key = None, (), jax.random.PRNGKey(0)
+        d, i = _sharded_knn_ivfpq(
+            q, self._codes, self._codes_ov, self._slot_id, self._lens,
+            self._ov_valid, self._cents_dev, self._cbooks, self._gidx,
+            self._gmask, self._cb_sq, params, key,
+            k=k, n_probes=n_probes, ef=ef, qb=qb, chunk=chunk,
+            dist=self.dist, lpad=self.lpad, ov_cap=self.ov_cap,
+            nlist=self.nlist, mesh=self.mesh, shard=self.shard, draw=draw,
+            interpret=interpret,
+        )
+        return np.asarray(d), np.asarray(i)
+
+    # ---- serde: mesh-independent global state; layouts re-place on load ----
+    def save(self, path: str, include_vectors: bool = False) -> None:
+        from ..utils.serde import save_arrays
+
+        arrays = {
+            "centroids": self.centroids,
+            "assign": np.asarray(self._assign, np.int32),
+        }
+        pq_arrays, pq_meta = self.pq.state()
+        for kk2, v in pq_arrays.items():
+            arrays["main_" + kk2] = v
+        save_arrays(path, arrays, dict(
+            kind="sharded_ivfpq", dist=self.dist, n=self.n, dim=self.dim,
+            nlist=self.nlist, seed=self.seed, block_rows=self._block_rows,
+            main=pq_meta["pq"],
+        ))
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh, fill=None, row_gen=None,
+             external_base=None) -> "ShardedIVFPQIndex":
+        from ..models.pq_table import PQTable
+        from ..utils.serde import load_arrays
+
+        arrays, meta = load_arrays(path)
+        if meta.get("kind") != "sharded_ivfpq":
+            raise ValueError(f"{path} is not a ShardedIVFPQIndex checkpoint")
+        if fill is None:
+            if external_base is None:
+                raise ValueError(
+                    "pass `fill` (block source) or `external_base` to "
+                    "re-encode the per-shard code segments")
+            base = np.asarray(external_base, np.float32)
+            fill = lambda row0, rows: jnp.asarray(base[row0:row0 + rows])
+            if row_gen is None:
+                base_j = jnp.asarray(base)
+
+                def _draw_rows(params, key, row_ids):
+                    (b,) = params
+                    return b[jnp.clip(row_ids, 0, b.shape[0] - 1)]
+
+                row_gen = (_draw_rows, (base_j,), jax.random.PRNGKey(0))
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.dist = meta["dist"]
+        self.n, self.dim = int(meta["n"]), int(meta["dim"])
+        self.nlist = int(meta["nlist"])
+        self.seed = int(meta["seed"])
+        self._block_rows = int(meta["block_rows"])
+        self._row_gen = row_gen
+        pq_arrays = {kk2[5:]: v for kk2, v in arrays.items()
+                     if kk2.startswith("main_")}
+        self.pq = PQTable.from_state(pq_arrays, {"pq": meta["main"]})
+        self.centroids = np.asarray(arrays["centroids"])
+        self._assign = np.asarray(arrays["assign"], np.int32)
+        self._fill = fill
+        self._place(fill)
+        return self

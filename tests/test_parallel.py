@@ -334,3 +334,59 @@ data_path = "{test_p}"
     assert cache_p.exists()
     res2 = harness.run_bench(cfg)
     assert res2["recall"][0] == 1.0
+
+
+def _ivfpq_fixture(gist_1000, n=800, dim=48, nlist=8):
+    from lab_1806_vec_db_tpu.utils.config import PQConfig
+
+    base = np.ascontiguousarray(gist_1000[:n, :dim])
+    queries = np.ascontiguousarray(gist_1000[900:910, :dim])
+    base_j = jnp.asarray(base)
+
+    def draw_rows(params, key, row_ids):
+        return base_j[jnp.clip(row_ids, 0, n - 1)]
+
+    row_gen = (draw_rows, (), jax.random.PRNGKey(0))
+    mesh = S.make_mesh()
+    idx = S.ShardedIVFPQIndex(
+        mesh, base, "l2sqr", nlist=nlist,
+        pq_config=PQConfig(n_bits=4, m=16, dist="l2sqr", k_means_size=400),
+        sample_rows=400, block_rows=256, row_gen=row_gen,
+    )
+    return idx, base, queries, row_gen, mesh
+
+
+def test_sharded_ivfpq_all_probes_is_exact(gist_1000):
+    """Oracle (VERDICT r4 item 4): probing EVERY list with a generous ef and
+    the exact refine, the sharded IVF-PQ search must return exactly the
+    exact kNN ids."""
+    idx, base, queries, _, _ = _ivfpq_fixture(gist_1000)
+    d, i = idx.knn_batch(queries, 5, n_probes=idx.nlist, ef=400, chunk=1,
+                         interpret=True)
+    exact = np.argsort(((base[None] - queries[:, None]) ** 2).sum(-1), axis=1)[:, :5]
+    np.testing.assert_array_equal(i, exact)
+    # returned distances are exact f32 of the returned ids, ascending
+    for r in range(len(queries)):
+        true = ((base[i[r]] - queries[r]) ** 2).sum(-1)
+        np.testing.assert_allclose(d[r], true, rtol=1e-4, atol=1e-5)
+        assert np.all(np.diff(d[r]) >= -1e-6)
+
+
+def test_sharded_ivfpq_recall_and_serde(tmp_path, gist_1000):
+    """Moderate probes give useful recall; a checkpoint re-places onto a
+    DIFFERENT mesh size with identical results (mesh-independent state)."""
+    idx, base, queries, row_gen, mesh = _ivfpq_fixture(gist_1000)
+    d1, i1 = idx.knn_batch(queries, 5, n_probes=6, ef=128, interpret=True)
+    exact = np.argsort(((base[None] - queries[:, None]) ** 2).sum(-1), axis=1)[:, :5]
+    rec = np.mean([len(set(i1[r]) & set(exact[r])) / 5 for r in range(len(queries))])
+    assert rec >= 0.6, rec
+
+    p = str(tmp_path / "sivfpq.npz")
+    idx.save(p)
+    mesh4 = S.make_mesh(4)
+    idx4 = S.ShardedIVFPQIndex.load(p, mesh4, external_base=base,
+                                    row_gen=row_gen)
+    # exhaustive probing stays exact on the re-placed mesh
+    _, i4 = idx4.knn_batch(queries, 5, n_probes=idx4.nlist, ef=400, chunk=1,
+                           interpret=True)
+    np.testing.assert_array_equal(i4, exact)
