@@ -51,6 +51,35 @@ from ..utils.candidates import CandidatePair, pairs_from_arrays
 HEURISTIC_CAND = 64
 BEAM_EXPAND = 4  # beam entries expanded per lock-step iteration (search)
 
+# Quantized-search planner crossover (VERDICT r4 item 5, measured at the
+# Gist1M flagship m=320 4-bit shape, batch=1000, one v5e chip):
+#   ADC full scan + exact rerank:  ~73 ms/batch at N=1e6 -> 13.7k QPS,
+#     cost ~linear in N (the chunk-min kernel streams every code row).
+#   ADC graph traversal:           ~570 ms/batch at N=1e6 -> ~1.76k QPS,
+#     cost ~flat in N (beam iterations x per-iteration ADC id-scoring;
+#     rows scored grow ~log N).
+# Scan cost equals traversal cost near N* ~ 1e6 * (570/73) ~ 7.8e6; the
+# planner switches at 5e6 — under N* on purpose: past ~4-5M rows per chip
+# the f32 store tier no longer fits HBM anyway (DESIGN.md 9d) and the
+# codes tiers (IVFPQIndex) own that regime, so the traversal branch above
+# the crossover mainly serves forced-literal runs and future hardware.
+PQ_SCAN_CROSSOVER = 5_000_000
+
+
+def plan_pq_route(on_tpu: bool, scannable: bool, n: int) -> str:
+    """The knn_pq physical-plan choice (see knn_pq_batch's docstring).
+
+    mirror: the store's resident int8 scan mirror + exact rerank — a
+    strictly better quantized representation than 4-bit ADC wherever it
+    is resident; scan: full ADC chunk-min scan + exact rerank; graph:
+    the literal ADC beam traversal (hnsw_index.rs:672-697).  CPU always
+    plans graph so the oracle tests exercise the reference algorithm."""
+    if not on_tpu:
+        return "graph"
+    if scannable:
+        return "mirror"
+    return "graph" if n > PQ_SCAN_CROSSOVER else "scan"
+
 # set to a utils.profiling.Spans to instrument bulk build (adds device syncs)
 BUILD_SPANS = None
 CHUNK_LADDER = (1, 4, 16, 64, 256, 1024, 4096)
@@ -1251,14 +1280,7 @@ class HNSWIndex:
             raise ValueError(f"unknown route {route!r} (auto|graph|scan|mirror)")
         scannable = getattr(self.store, "_mirror_layout", "scan") == "scan"
         if route == "auto":
-            if on_tpu and scannable:
-                route = "mirror"
-            else:
-                # ADC-scan cost ~ linear in N (v2 chunk-min kernel:
-                # 13.7k QPS at 1M incl. exact rerank), the ADC graph
-                # traversal ~ flat (~1.8k QPS): the crossover sits near
-                # 5M rows (round 4; it was 2.5M with the round-3 kernel)
-                route = "graph" if (not on_tpu or len(self.store) > 5_000_000) else "scan"
+            route = plan_pq_route(on_tpu, scannable, len(self.store))
         if route == "mirror":
             from .flat import FlatIndex
 

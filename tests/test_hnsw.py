@@ -263,3 +263,22 @@ def test_beam_search_stats_counts_novel_rows(rng):
     rows = np.asarray(rows)
     assert (rows >= ef).all()  # at least the beam was filled with novel rows
     assert (rows <= 1 + iters * 2 * L).all()  # bounded by the expansion budget
+
+
+def test_pq_route_planner():
+    """The quantized-search planner (VERDICT r4 item 5): mirror wherever
+    the int8 scan mirror is resident, ADC scan below the measured
+    scan-vs-traversal crossover, the literal ADC traversal above it, and
+    always the reference algorithm on CPU (oracle fidelity)."""
+    from lab_1806_vec_db_tpu.models.hnsw import PQ_SCAN_CROSSOVER, plan_pq_route
+
+    # CPU: the literal reference algorithm, regardless of size or mirror
+    assert plan_pq_route(False, True, 10_000) == "graph"
+    assert plan_pq_route(False, False, 10 * PQ_SCAN_CROSSOVER) == "graph"
+    # TPU with a resident scan mirror: the mirror dominates 4-bit ADC
+    assert plan_pq_route(True, True, 1_000_000) == "mirror"
+    assert plan_pq_route(True, True, 10 * PQ_SCAN_CROSSOVER) == "mirror"
+    # TPU, codes-only storage: linear-cost scan below the crossover,
+    # flat-cost traversal above it
+    assert plan_pq_route(True, False, 1_000_000) == "scan"
+    assert plan_pq_route(True, False, PQ_SCAN_CROSSOVER + 1) == "graph"
