@@ -256,12 +256,6 @@ def _gather_dist_kernel_mq(
             out_ref[:, c0:c1] = jnp.where(idv_ref[:, c0:c1] >= 0, d, jnp.inf)
 
 
-def _mq_bq(r: int, sr: int) -> int:
-    """Queries per grid step, sized so the row scratch stays ~<=4 MB."""
-    per_q = r * sr * 128 * 4
-    return max(1, min(8, (4 * 1024 * 1024) // max(per_q, 1)))
-
-
 @functools.partial(jax.jit, static_argnames=("dist", "interpret"))
 def gather_dists_rs(
     queries: jax.Array,  # (B, dim) f32
@@ -272,20 +266,24 @@ def gather_dists_rs(
 ) -> jax.Array:
     """Exact f32 distances base[ids[b, j]] <-> queries[b] -> (B, r) f32.
 
-    Invalid ids (< 0) produce +inf.  BQ queries per grid step (see
-    `_gather_dist_kernel_mq`); the row-slab fetches are issued as
-    concurrent DMAs with per-wave skip."""
+    Invalid ids (< 0) produce +inf.  8 queries per grid step (see
+    `_gather_dist_kernel_mq`; Mosaic block sublane dims must be multiples
+    of 8); candidate widths whose 8-query row scratch would exceed ~8 MB
+    of VMEM delegate to the single-query kernel."""
     B, dim = queries.shape
     dim_pad = rerank_dim_pad(dim)
     sr = dim_pad // 128
     r = ids.shape[1]
     r_in = r
+    bq = 8
+    if bq * ((r + 15) // 16 * 16) * sr * 512 > 16 * 1024 * 1024:
+        return gather_dists_rs_1q(queries, base_rs, ids, dist,
+                                  interpret=interpret)
     if r % 16:
         # lane-align the candidate axis to the wave size
         pad = 16 - r % 16
         ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
         r = r + pad
-    bq = _mq_bq(r, sr)
     bp = ((B + bq - 1) // bq) * bq
     if bp != B:
         queries = jnp.pad(queries, ((0, bp - B), (0, 0)))
@@ -324,6 +322,11 @@ def gather_dists_rs(
             pltpu.VMEM((bq * r * sr, 128), base_rs.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # the 8-query row scratch alone is 8 MB at r=256; the v5e's
+        # scoped-vmem default (16 MB) needs raising for the wider beam
+        # tiles (the ADC kernels already run with a raised limit)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(ids, nw, ids, q_norms, q, base_rs)
     return out[:B, :r_in]
