@@ -1036,11 +1036,24 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
             store.free_scan_mirrors()  # graph sweep needs slab+links, not mirrors
 
             log("[3/6] HNSW graph route (literal beam traversal)")
+            # per-ef traversal telemetry: novel rows scored per query and
+            # the 16 ns/row DMA-issue floor they price (DESIGN.md 9c) —
+            # one stats batch per ef, recorded alongside the timing so the
+            # floor-vs-measured claim stays checkable in the artifact
+            rows_scored, floors = [], []
+            for ef in efs:
+                _, _, rs = hnsw.traversal_stats(queries, k, ef)
+                rows_scored.append(int(np.mean(rs)))
+                floors.append(round(rows_scored[-1] * 16e-6, 4))
+                log(f"  traversal_stats ef={ef}: {rows_scored[-1]} rows/q "
+                    f"(floor {floors[-1]:.4f} ms/q)")
             row = sweep_host(
                 f"tpu-hnsw route=graph M16 efc200 (build {build_s:.0f}s)", efs,
                 lambda ef: hnsw.knn_with_ef_batch(queries, k, ef, route="graph"),
                 extra={"build_seconds": round(build_s, 1),
-                       "index_device_bytes": hnsw.index_bytes()},
+                       "index_device_bytes": hnsw.index_bytes(),
+                       "rows_scored_per_query": rows_scored,
+                       "dma_floor_ms": floors},
             )
             summary["hnsw_graph_ef120_qps"] = round(1000.0 / row["ms"][0], 1)
             summary["hnsw_graph_ef120_recall"] = row["recall"][0]

@@ -138,7 +138,12 @@ class IVFPQIndex:
         self._gen = traced_gen
         self._row_gen = row_gen  # (draw_rows, params, key) row-addressable
         self._block_rows = int(block_rows)
-        # device state
+        # device state.  Codes live TRANSPOSED at rest — (cw, slots) — when
+        # `_codes_is_t`: cw=160 (m=320 packed) on the int8 lane axis pads
+        # 160 -> 256 B/row (1.6x HBM + capacity tax); on sublanes it tiles
+        # exactly (160 = 5x32).  Row-major is kept for loaded pre-r5
+        # checkpoints and the sharded tier.
+        self._codes_is_t = False
         self._codes: jax.Array | None = None  # (nlist*lpad, cw) uint8 sorted
         self._codes_ov: jax.Array | None = None  # (ov_pad, cw) uint8
         self._slot_id: jax.Array | None = None  # (slots,) int32 slot -> orig
@@ -223,8 +228,13 @@ class IVFPQIndex:
                    lens, ov_count, fill=fill,
                    traced_gen=traced_gen, row_gen=row_gen,
                    block_rows=block_rows)
-        self._codes = codes_main
-        self._codes_ov = codes_ov
+        # transpose-at-rest (one device copy each, freed immediately): the
+        # lane-padded row-major form would otherwise occupy 1.6x HBM for
+        # the life of the index at cw=160
+        self._codes = codes_main.T
+        self._codes_ov = codes_ov.T
+        self._codes_is_t = True
+        del codes_main, codes_ov
         self._slot_id = jnp.asarray(slot_id)
         return self
 
@@ -265,6 +275,7 @@ class IVFPQIndex:
             "kind": "ivfpq", "n": self.n, "dim": self.dim, "dist": self.dist,
             "lpad": self.lpad, "ov_count": self.ov_count,
             "block_rows": self._block_rows, "main": pq_meta["pq"],
+            "codes_transposed": bool(self._codes_is_t),
         }
         serde.save_arrays(path, arrays, meta)
 
@@ -287,6 +298,7 @@ class IVFPQIndex:
                    row_gen=row_gen, block_rows=meta["block_rows"])
         self._codes = jnp.asarray(arrays["codes"])
         self._codes_ov = jnp.asarray(arrays["codes_ov"])
+        self._codes_is_t = bool(meta.get("codes_transposed", False))
         self._slot_id = jnp.asarray(arrays["slot_id"])
         return self
 
@@ -315,6 +327,7 @@ class IVFPQIndex:
             n=self.n, nlist=self.nlist, block_rows=self._block_rows,
             nb=nb, S=S, draw=draw,
             row_addressable=self._row_gen is not None,
+            codes_t=self._codes_is_t,
         )
 
     def _auto_qb(self, B: int, n_probes: int) -> int:
@@ -353,6 +366,7 @@ class IVFPQIndex:
             qb=qb,
             chunk=chunk, dist=self.dist, lpad=self.lpad,
             ov_count=self.ov_count, nlist=self.nlist, interpret=interpret,
+            codes_t=self._codes_is_t,
         )
         d_ex = refine_blocked(self._gen, self._fill, self._block_rows, self.n,
                               self.dim, self.dist, q_dev, ti1,
@@ -373,7 +387,7 @@ class IVFPQIndex:
 def _search_candidates(q, lookup, q_norms, centroids, codes, codes_ov,
                        slot_id, lens_dev, cb_sq, *, k, n_probes, ef, qb,
                        chunk, dist, lpad, ov_count, nlist, interpret,
-                       ov_valid=None):
+                       ov_valid=None, codes_t=False):
     """Steps 1-6 of the IVF-PQ search (probe -> bin -> binned ADC ->
     survivor gather -> overflow -> top-ef).  Pure jax; traced either
     standalone (unfused path) or inside the fused program.
@@ -381,7 +395,9 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, codes_ov,
     `ov_valid` (traced int32, default = ov_count) is the VALID overflow
     row count when `ov_count` is only a static capacity — the sharded
     tier pads every shard's overflow segment to a common capacity and
-    passes each shard's true count here."""
+    passes each shard's true count here.  `codes_t`: codes/codes_ov are
+    (cw, slots) transposed-at-rest (the m=320 zero-padding layout,
+    ops/pallas_adc.py adc_scan_chunkmin docstring)."""
     from ..ops import pallas_adc as PA
 
     B = q.shape[0]
@@ -401,7 +417,8 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, codes_ov,
     # adc_quality) should shrink it.
     outd, outi = PA.adc_chunkmin_binned(
         lookup, codes, lens_dev, bins, cb_sq, q_norms, dist,
-        packed=True, lpad=lpad, chunk=chunk, interpret=interpret,
+        packed=True, lpad=lpad, chunk=chunk, transposed=codes_t,
+        interpret=interpret,
     )
     SL = outd.shape[1]  # survivors per list
 
@@ -430,7 +447,8 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, codes_ov,
     if ov_count > 0:
         kl = nlist * lpad
         ov_codes = codes_ov
-        ov_slots = kl + jnp.arange(ov_codes.shape[0], dtype=jnp.int32)
+        n_ov = ov_codes.shape[1] if codes_t else ov_codes.shape[0]
+        ov_slots = kl + jnp.arange(n_ov, dtype=jnp.int32)
         # floored at k (ADVICE r4 #2): with ov_count < 4k the old //4 cap
         # could fall below k and make true top-k rows living in the overflow
         # segment unfindable even at n_probes=nlist, breaking the
@@ -447,7 +465,7 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, codes_ov,
         d_ov, s_ov = PA.adc_scan_chunkmin(
             lookup, ov_codes, ov_slots, ovv, cb_sq,
             q_norms, k_ov, dist, packed=True, chunk=ch,
-            interpret=interpret,
+            transposed=codes_t, interpret=interpret,
         )
         d_cand = jnp.concatenate([d_cand, d_ov], axis=1)
         slot_cand = jnp.concatenate([slot_cand, s_ov], axis=1)
@@ -467,11 +485,12 @@ def _search_candidates(q, lookup, q_norms, centroids, codes, codes_ov,
 
 @_partial(jax.jit, static_argnames=(
     "k", "n_probes", "ef", "qb", "chunk", "dist", "lpad", "ov_count", "n",
-    "nlist", "block_rows", "nb", "S", "draw", "row_addressable"))
+    "nlist", "block_rows", "nb", "S", "draw", "row_addressable", "codes_t"))
 def _ivfpq_search_jit(q, centroids, codes, codes_ov, slot_id, lens_dev,
                       cb_sq, gidx, gmask, cbooks, params, key, *, k, n_probes,
                       ef, qb, chunk, dist, lpad, ov_count, n, nlist,
-                      block_rows, nb, S, draw, row_addressable=False):
+                      block_rows, nb, S, draw, row_addressable=False,
+                      codes_t=False):
     """The whole IVF-PQ search as one device program: lookup build +
     candidates + single-program exact refine (the traced branch of
     refine_blocked, inlined so the refine's sort/searchsorted stay on
@@ -491,6 +510,7 @@ def _ivfpq_search_jit(q, centroids, codes, codes_ov, slot_id, lens_dev,
         qf, lookup, q_norms, centroids, codes, codes_ov, slot_id, lens_dev,
         cb_sq, k=k, n_probes=n_probes, ef=ef, qb=qb, chunk=chunk, dist=dist,
         lpad=lpad, ov_count=ov_count, nlist=nlist, interpret=False,
+        codes_t=codes_t,
     )
     ef_eff = ti1.shape[1]
 

@@ -153,7 +153,14 @@ class PQCodesIndex:
         self._row_gen = row_gen  # (draw_rows, params, key) row-addressable
         self._block_rows = int(block_rows)
         self._codes: jax.Array | None = None  # (cap, ceil(m/2)) uint8 PERMUTED
+        # coarse codes live TRANSPOSED at rest — (ceil(mc/2), cap) — when
+        # `_codes_c_is_t`: the coarse cw (12-20 bytes at m_c=24-40) on the
+        # int8 LANE axis pads to 128 B/row (6-10x HBM for the stage-0 scan
+        # that reads every row every batch); on sublanes it pads only to 32.
+        # The MAIN codes stay row-major: they are consumed by per-candidate
+        # row gathers (adc_dists_for_ids), which need rows on lanes.
         self._codes_c: jax.Array | None = None  # coarse, same permutation
+        self._codes_c_is_t = False
         self._perm: jax.Array | None = None
         self._inv: jax.Array | None = None
 
@@ -248,7 +255,9 @@ class PQCodesIndex:
                 progress(min(row0 + rows, n))
         jax.block_until_ready(codes)
         self._codes = codes
-        self._codes_c = codes_c
+        self._codes_c = codes_c.T
+        self._codes_c_is_t = True
+        del codes_c
         return self
 
     def __len__(self) -> int:
@@ -290,6 +299,7 @@ class PQCodesIndex:
             "kind": "pq_codes", "n": self.n, "dim": self.dim,
             "dist": self.dist, "block_rows": self._block_rows,
             "main": pq_meta["pq"], "coarse": c_meta["pq"],
+            "codes_c_transposed": bool(self._codes_c_is_t),
         }
         serde.save_arrays(path, arrays, meta)
 
@@ -317,6 +327,7 @@ class PQCodesIndex:
                    block_rows=meta["block_rows"])
         self._codes = jnp.asarray(arrays["codes"])
         self._codes_c = jnp.asarray(arrays["codes_c"])
+        self._codes_c_is_t = bool(meta.get("codes_c_transposed", False))
         perm = arrays["perm"]
         self._perm = jnp.asarray(perm)
         inv = np.empty(len(perm), np.int32)
@@ -348,7 +359,7 @@ class PQCodesIndex:
         _, ids0 = PA.adc_scan_chunkmin(
             lut_c, self._codes_c, self._perm, jnp.int32(self.n), cb_sq_c,
             qn_c, c0, self.dist, packed=True, selector="approx", chunk=chunk,
-            interpret=interpret,
+            transposed=self._codes_c_is_t, interpret=interpret,
         )
 
         # stage 1: main ADC on the pooled candidates (permuted slot gather)

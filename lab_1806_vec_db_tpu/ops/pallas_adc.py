@@ -350,19 +350,26 @@ def _prep_lut_quant(lut_p: jax.Array, lut_dtype: str):
 def _adc_chunkmin_kernel(
     nvalid_ref, codes_ref, col_ref, lut_ref, aux_ref, cs_ref,
     outd_ref, outi_ref, *, k: int, packed: bool, oh_dtype, dist: str, chunk: int,
+    transposed: bool = False,
 ):
     """One base tile -> (NT/chunk, BT) chunk-min survivors.
 
-    codes_ref: (NT, cw) int32; col_ref: (8, W) int32 code-of-lane;
-    lut_ref: (W, BT) query LUT (int8/bf16/f32); aux_ref: (8, BT) f32 rows
-    [0]=per-query dequant scale, [1]=query norms (cosine), [2][0]=centroid
-    column scale; cs_ref: (W, 128) centroid-sqnorm LUT column (col 0) or a
-    (8, 128) dummy for L2; outd/outi: (NT/chunk, BT) survivor dist + GLOBAL
-    base-row position (pre-permutation decode)."""
+    codes_ref: (NT, cw) int32 — or (cw, NT) when `transposed` (the
+    sublane-major at-rest layout; see adc_scan_chunkmin); col_ref: (8, W)
+    int32 code-of-lane; lut_ref: (W, BT) query LUT (int8/bf16/f32);
+    aux_ref: (8, BT) f32 rows [0]=per-query dequant scale, [1]=query norms
+    (cosine), [2][0]=centroid column scale; cs_ref: (W, 128) centroid-sqnorm
+    LUT column (col 0) or a (8, 128) dummy for L2; outd/outi: (NT/chunk, BT)
+    survivor dist + GLOBAL base-row position (pre-permutation decode)."""
     i = pl.program_id(1)
-    NT = codes_ref.shape[0]
+    NT = codes_ref.shape[1] if transposed else codes_ref.shape[0]
     BT = lut_ref.shape[1]
     codes = codes_ref[:].astype(jnp.int32)  # widen in VMEM (see kernel v2)
+    if transposed:
+        # one in-register transpose back to row-major; the HBM tile was
+        # (cw, NT) with cw on SUBLANES (160 = 5x32 int8 sublane tiles,
+        # zero padding) instead of lanes (160 -> 256, the 1.6x HBM tax)
+        codes = codes.T
     if packed:
         codes_u = jnp.concatenate([codes & 0xF, (codes >> 4) & 0xF], axis=1)
     else:
@@ -403,11 +410,11 @@ def _adc_chunkmin_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("k_out", "dist", "packed", "lut_dtype", "chunk", "selector",
-                     "interpret"),
+                     "transposed", "interpret"),
 )
 def adc_scan_chunkmin(
     lookup: jax.Array,  # (B, m, k) f32
-    codes: jax.Array,  # PERMUTED (N, cw) device codes
+    codes: jax.Array,  # PERMUTED (N, cw) device codes — (cw, N) if transposed
     perm: jax.Array,  # (N,) int32: position -> original id
     n_valid,
     cb_sqnorm: jax.Array,  # (m, k) f32
@@ -418,9 +425,16 @@ def adc_scan_chunkmin(
     lut_dtype: str = "int8",
     chunk: int = _CHUNK,
     selector: str = "exact",
+    transposed: bool = False,
     interpret: bool = False,
 ):
     """Full ADC scan fused with a chunk-min partial top-k.
+
+    `transposed`: codes arrive (cw, N) — the sublane-major at-rest layout
+    for cw that is a multiple of 32 but not of 128 (m=320 packed: cw=160
+    lane-pads to 256 B/row row-major = 1.6x HBM on the bandwidth-bound
+    big-N scan; transposed it tiles exactly, 160 = 5x32 int8 sublanes).
+    The kernel transposes each (cw, NT) tile back in-register.
 
     The dense path materializes the (N, B) sum matrix in HBM and reduces it
     outside the kernel — at 1M/B=1000 that is a 4 GB round trip plus a
@@ -443,14 +457,14 @@ def adc_scan_chunkmin(
     from . import topk as T
 
     B = lookup.shape[0]
-    N = codes.shape[0]
+    N = codes.shape[1] if transposed else codes.shape[0]
     NT = _NT
     n_pad = ((N + NT - 1) // NT) * NT
     S = n_pad // chunk
     kk = min(k_out, S)
 
     R, m, k = lookup.shape[0], lookup.shape[1], lookup.shape[2]
-    cw = codes.shape[1]
+    cw = codes.shape[0] if transposed else codes.shape[1]
     m_eff = 2 * cw if packed else cw
     W = m_eff * k
     r_tile = min(_BT_MAX, ((B + 127) // 128) * 128)
@@ -458,7 +472,8 @@ def adc_scan_chunkmin(
 
     codes_p = _codes_as_i8(codes)
     if n_pad != N:
-        codes_p = jnp.pad(codes_p, ((0, n_pad - N), (0, 0)))
+        pad_n = ((0, 0), (0, n_pad - N)) if transposed else ((0, n_pad - N), (0, 0))
+        codes_p = jnp.pad(codes_p, pad_n)
     col = jnp.broadcast_to(
         (jnp.arange(W, dtype=jnp.int32) // m_eff)[None, :], (8, W)
     )
@@ -485,7 +500,12 @@ def adc_scan_chunkmin(
 
     kernel = functools.partial(
         _adc_chunkmin_kernel, k=k, packed=packed, oh_dtype=oh_dtype, dist=dist,
-        chunk=chunk,
+        chunk=chunk, transposed=transposed,
+    )
+    codes_spec = (
+        pl.BlockSpec((cw, NT), lambda j, i: (0, i), memory_space=pltpu.VMEM)
+        if transposed
+        else pl.BlockSpec((NT, cw), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
     )
     cs_w = cs_q.shape[0]
     outd, outi = pl.pallas_call(
@@ -493,7 +513,7 @@ def adc_scan_chunkmin(
         grid=(r_pad // r_tile, n_pad // NT),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((NT, cw), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            codes_spec,
             pl.BlockSpec((8, W), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, r_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, r_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
@@ -539,7 +559,7 @@ _NT_BIN = 512  # list rows per grid step (lpad is a multiple, _LPAD_MULT)
 def _adc_chunkmin_binned_kernel(
     codes_ref, col_ref, lut_ref, aux_ref, cs_ref,
     outd_ref, outi_ref, *, k: int, packed: bool, oh_dtype, dist: str,
-    chunk: int, lpad: int,
+    chunk: int, lpad: int, transposed: bool = False,
 ):
     """One (list, list-tile) -> (NT/chunk, QB) chunk-min survivors.
 
@@ -559,9 +579,11 @@ def _adc_chunkmin_binned_kernel(
     post-hoc id decode."""
     l = pl.program_id(0)
     t = pl.program_id(1)
-    NT = codes_ref.shape[0]
+    NT = codes_ref.shape[1] if transposed else codes_ref.shape[0]
     QB = lut_ref.shape[2]
     codes = codes_ref[:].astype(jnp.int32)  # widen in VMEM (see kernel v2)
+    if transposed:
+        codes = codes.T  # (cw, NT) sublane-major at-rest tile -> row-major
     if packed:
         codes_u = jnp.concatenate([codes & 0xF, (codes >> 4) & 0xF], axis=1)
     else:
@@ -601,11 +623,13 @@ def _adc_chunkmin_binned_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dist", "packed", "lut_dtype", "chunk", "lpad", "interpret"),
+    static_argnames=("dist", "packed", "lut_dtype", "chunk", "lpad",
+                     "transposed", "interpret"),
 )
 def adc_chunkmin_binned(
     lookup: jax.Array,  # (B, m, k) f32 per-query LUT
     codes_sorted: jax.Array,  # (>= nlist*lpad, cw) cluster-sorted codes
+    #   — (cw, nlist*lpad) when `transposed` (sublane-major at-rest layout)
     lens: jax.Array,  # (nlist,) int32 valid rows per list
     bins: jax.Array,  # (nlist, QB) int32 query ids, -1 padded
     cb_sqnorm: jax.Array,  # (m, k) f32
@@ -615,6 +639,7 @@ def adc_chunkmin_binned(
     lut_dtype: str = "int8",
     chunk: int = _CHUNK,
     lpad: int = 0,
+    transposed: bool = False,
     interpret: bool = False,
 ):
     """Chunk-min ADC over probed posting lists -> per-(list, bin-slot)
@@ -635,7 +660,7 @@ def adc_chunkmin_binned(
     must budget nlist*W*qb bytes of headroom."""
     nlist, QB = bins.shape
     B, m, k = lookup.shape
-    cw = codes_sorted.shape[1]
+    cw = codes_sorted.shape[0] if transposed else codes_sorted.shape[1]
     m_eff = 2 * cw if packed else cw
     W = m_eff * k
     NT = _NT_BIN
@@ -669,26 +694,35 @@ def adc_chunkmin_binned(
 
     codes_p = _codes_as_i8(codes_sorted)
     need = nlist * lpad
-    if codes_p.shape[0] < need:
-        codes_p = jnp.pad(codes_p, ((0, need - codes_p.shape[0]), (0, 0)))
-    elif codes_p.shape[0] > need:
+    n_axis = 1 if transposed else 0
+    if codes_p.shape[n_axis] < need:
+        grow = need - codes_p.shape[n_axis]
+        pad_n = ((0, 0), (0, grow)) if transposed else ((0, grow), (0, 0))
+        codes_p = jnp.pad(codes_p, pad_n)
+    elif codes_p.shape[n_axis] > need:
         # avoid a same-size slice: an in-jit slice of the full table copies
         # it (2.6 GB/batch at 10M) — callers pass exactly-sized arrays
-        codes_p = codes_p[:need]
+        codes_p = codes_p[:, :need] if transposed else codes_p[:need]
 
     kernel = functools.partial(
         _adc_chunkmin_binned_kernel, k=k, packed=packed, oh_dtype=oh_dtype,
-        dist=dist, chunk=chunk, lpad=lpad,
+        dist=dist, chunk=chunk, lpad=lpad, transposed=transposed,
     )
     SB = NT // chunk
     tiles = lpad // NT
     cs_w = cs_q.shape[0]
+    codes_spec = (
+        pl.BlockSpec((cw, NT), lambda l, t: (0, l * (lpad // _NT_BIN) + t),
+                     memory_space=pltpu.VMEM)
+        if transposed
+        else pl.BlockSpec((NT, cw), lambda l, t: (l * (lpad // _NT_BIN) + t, 0),
+                          memory_space=pltpu.VMEM)
+    )
     outd, outi = pl.pallas_call(
         kernel,
         grid=(nlist, tiles),
         in_specs=[
-            pl.BlockSpec((NT, cw), lambda l, t: (l * (lpad // _NT_BIN) + t, 0),
-                         memory_space=pltpu.VMEM),
+            codes_spec,
             pl.BlockSpec((8, W), lambda l, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W, QB), lambda l, t: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, QB), lambda l, t: (l, 0, 0), memory_space=pltpu.VMEM),

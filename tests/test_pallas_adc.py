@@ -154,3 +154,44 @@ def test_adc_scan_chunkmin_matches_dense(dist, lut_dtype, rng):
     rel = np.abs(dd - md) / np.maximum(np.abs(md), 1e-5)
     tol = 1e-4 if lut_dtype == "f32" else 5e-2
     assert np.median(rel[a >= 0]) < tol
+
+
+def test_adc_transposed_layout_exact_parity(rng):
+    """The transposed-at-rest code layout (codes (cw, N), cw on sublanes —
+    the r5 zero-padding layout for cw not a lane multiple) must produce
+    BIT-IDENTICAL survivors to the row-major layout in both the full-scan
+    and binned chunk-min kernels (the transpose is an in-kernel relayout,
+    not a numerical change)."""
+    N, m, k, B = 8192, 16, 16, 64
+    cw = m // 2
+    codes = jnp.asarray(rng.integers(0, 256, (N, cw), dtype=np.uint8))
+    codes_t = jnp.asarray(np.asarray(codes).T.copy())
+    perm = jnp.arange(N, dtype=jnp.int32)
+    lookup = jnp.asarray(rng.standard_normal((B, m, k)).astype(np.float32))
+    cb_sq = jnp.zeros((m, k), jnp.float32)
+    qn = jnp.ones((B,), jnp.float32)
+
+    d0, i0 = PA.adc_scan_chunkmin(
+        lookup, codes, perm, jnp.int32(N), cb_sq, qn, 20, "l2sqr",
+        packed=True, interpret=True)
+    d1, i1 = PA.adc_scan_chunkmin(
+        lookup, codes_t, perm, jnp.int32(N), cb_sq, qn, 20, "l2sqr",
+        packed=True, transposed=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+    # binned kernel: 8 lists x lpad rows, every query binned to two lists
+    nlist, lpad, qb = 8, 1024, 16
+    cs = codes[: nlist * lpad]
+    cs_t = jnp.asarray(np.asarray(cs).T.copy())
+    lens = jnp.full((nlist,), lpad - 3, jnp.int32)
+    bins = jnp.asarray(
+        rng.integers(0, B, (nlist, qb), dtype=np.int32))
+    od0, oi0 = PA.adc_chunkmin_binned(
+        lookup, cs, lens, bins, cb_sq, qn, "l2sqr", packed=True, lpad=lpad,
+        interpret=True)
+    od1, oi1 = PA.adc_chunkmin_binned(
+        lookup, cs_t, lens, bins, cb_sq, qn, "l2sqr", packed=True, lpad=lpad,
+        transposed=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(oi0), np.asarray(oi1))
+    np.testing.assert_array_equal(np.asarray(od0), np.asarray(od1))

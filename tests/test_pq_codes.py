@@ -61,7 +61,10 @@ def _build(dist, traced=True):
 @pytest.mark.parametrize("dist", ["l2sqr", "cosine"])
 def test_pq_codes_recall_and_exact_distances(dist):
     idx, base, queries = _build(dist)
-    assert idx._codes.shape[1] == 8 and idx._codes_c.shape[1] == 4
+    # main codes row-major (rows gathered by candidate id); coarse codes
+    # transposed at rest (cw on sublanes — the r5 layout)
+    assert idx._codes.shape[1] == 8
+    assert idx._codes_c_is_t and idx._codes_c.shape[0] == 4
     flat = FlatIndex.from_numpy(base, dist)
     _, gt = flat.knn_batch(queries, 10, exact=True)
 
@@ -95,6 +98,7 @@ def test_pq_codes_host_fill_refine_matches_traced():
         traced_gen=None, row_gen=None, block_rows=BR,
     )
     idx_h._codes, idx_h._codes_c = idx_t._codes, idx_t._codes_c
+    idx_h._codes_c_is_t = idx_t._codes_c_is_t
     idx_h._perm, idx_h._inv = idx_t._perm, idx_t._inv
     d_t, i_t = idx_t.knn_batch(queries, 10, ef=64, c0=512, interpret=True)
     d_h, i_h = idx_h.knn_batch(queries, 10, ef=64, c0=512, interpret=True)
