@@ -891,6 +891,7 @@ def _sharded_knn_ivfpq(
             lens_l[0], cb_sq, k=kk, n_probes=n_probes, ef=ef, qb=qb,
             chunk=chunk, dist=dist, lpad=lpad, ov_count=ov_cap,
             nlist=nlist, interpret=interpret, ov_valid=ovv_l[0],
+            codes_t=True,
         )
         offset = jax.lax.axis_index("data").astype(jnp.int32) * shard
         gids = jnp.where(ti1 >= 0, ti1 + offset, -1)
@@ -1031,11 +1032,15 @@ class ShardedIVFPQIndex:
         lpad = max(lpads)
         ov_pad = max(-(-max(max(ov_lens), 1) // _BLOCKPAD) * _BLOCKPAD,
                      _BLOCKPAD)
-        # pass 2: encode each shard at the common layout
+        # pass 2: encode each shard at the common layout.  Per-shard code
+        # segments stack TRANSPOSED — (n_dev, cw, slots), cw on sublanes —
+        # the same zero-padding at-rest layout as the single-chip tier
+        # (models/ivfpq.py; DESIGN 9e): each chip's resident segment pays
+        # no lane padding at cw=160.
         cw = (self.pq.config.m + 1) // 2
         kl = self.nlist * lpad
-        codes = np.zeros((n_dev, kl, cw), np.uint8)
-        codes_ov = np.zeros((n_dev, ov_pad, cw), np.uint8)
+        codes = np.zeros((n_dev, cw, kl), np.uint8)
+        codes_ov = np.zeros((n_dev, cw, ov_pad), np.uint8)
         slot_id = np.zeros((n_dev, kl + ov_pad), np.int32)
         lens = np.zeros((n_dev, self.nlist), np.int32)
         ov_valid = np.zeros((n_dev,), np.int32)
@@ -1047,8 +1052,8 @@ class ShardedIVFPQIndex:
                 fill_s, hi - lo, self.pq, self._assign[lo:hi], self.nlist,
                 self.seed + 17 * c, self._block_rows, force_lpad=lpad,
                 ov_pad_min=ov_pad)
-            codes[c] = np.asarray(cm)
-            codes_ov[c, : co.shape[0]] = np.asarray(co)
+            codes[c] = np.asarray(cm).T
+            codes_ov[c, :, : co.shape[0]] = np.asarray(co).T
             slot_id[c] = sid
             lens[c] = ln
             ov_valid[c] = ovc
