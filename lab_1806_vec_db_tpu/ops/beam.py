@@ -137,12 +137,14 @@ def beam_search_fused(
     L = links_fn(jnp.zeros((1, 1), jnp.int32)).shape[-1]
     EL = ((E * L + 127) // 128) * 128
     W = PB._pow2(max(ef, EL, 128))
-    # ring capped at 256: the dedup compare volume is linear in R and the
-    # fused PRE kernel pays it every iteration; 256 slots hold 64+
+    # ring capped (default 256): the dedup compare volume is linear in R
+    # and the fused PRE kernel pays it every iteration; 256 slots hold 64+
     # iterations of expansion history at E=4, and a node evicted beyond
     # that horizon is merely re-scored (measured rows/query unchanged at
-    # ef=120 vs the 512-slot ring)
-    R = ((max(min(ring_size, 256), 128) + 127) // 128) * 128
+    # ef=120 vs the 512-slot ring).  VECDB_TPU_RING_CAP overrides (read at
+    # trace time) for A/B measurement.
+    _cap = int(os.environ.get("VECDB_TPU_RING_CAP", "256"))
+    R = ((max(min(ring_size, _cap), 128) + 127) // 128) * 128
 
     entry_d = node_dist_fn(entry[:, None])[:, 0]  # (B,)
     beam_d = jnp.full((B, W), jnp.inf, jnp.float32).at[:, 0].set(

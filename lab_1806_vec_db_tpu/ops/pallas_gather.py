@@ -22,6 +22,7 @@ f32 distances the flat scan returns (src/distance/mod.rs:71-95).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -275,7 +276,12 @@ def gather_dists_rs(
     sr = dim_pad // 128
     r = ids.shape[1]
     r_in = r
-    bq = 8
+    # queries per grid step: more queries/step = more DMAs in flight across
+    # each serialized issue->wait boundary and fewer per-step fixed costs;
+    # bounded by the row-scratch VMEM (~16 MB budget of the 48 MB limit).
+    bq = int(os.environ.get("VECDB_TPU_GATHER_BQ", "16"))
+    while bq > 8 and bq * ((r + 15) // 16 * 16) * sr * 512 > 16 * 1024 * 1024:
+        bq //= 2
     if bq * ((r + 15) // 16 * 16) * sr * 512 > 16 * 1024 * 1024:
         return gather_dists_rs_1q(queries, base_rs, ids, dist,
                                   interpret=interpret)
