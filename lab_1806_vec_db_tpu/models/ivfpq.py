@@ -54,10 +54,42 @@ _BLOCK = 131072
 _BLOCKPAD = 512  # overflow segment padded to the chunk-min tile multiple
 
 
+@_partial(jax.jit, donate_argnums=(0,))
+def _tset_chunk(dst_t, src, lo):
+    """dst_t[:, lo:lo+rows] = src.T with dst donated — the chunked
+    transpose used at build: a whole-array `.T` of the encoded codes holds
+    source + slice-copy + transposed target live at once (3x the table;
+    the 30M build OOM'd at 18.5 of 15.75 GB), where chunking peaks at
+    source + target + one chunk."""
+    return jax.lax.dynamic_update_slice(dst_t, src.T, (jnp.int32(0), lo))
+
+
+def _transpose_split(codes, kl, chunk_slots=4 * 1024 * 1024):
+    """(slots, cw) uint8 device codes -> ((cw, kl), (cw, slots-kl)) with a
+    bounded-peak chunked transpose; frees `codes` before returning."""
+    slots, cw = codes.shape
+    outs = []
+    for lo0, hi0 in ((0, kl), (kl, slots)):
+        seg = jnp.zeros((cw, hi0 - lo0), jnp.uint8)
+        for lo in range(lo0, hi0, chunk_slots):
+            hi = min(hi0, lo + chunk_slots)
+            src = codes[lo:hi]
+            if hi - lo < chunk_slots and lo != lo0:
+                # keep one compiled shape for the big chunks; odd tail
+                # goes through its own (single) compile
+                pass
+            seg = _tset_chunk(seg, src, jnp.int32(lo - lo0))
+        outs.append(seg)
+    jax.block_until_ready(outs)
+    del codes
+    return outs[0], outs[1]
+
+
 
 
 def _layout_encode(fill, n, pq, assign, nlist, seed, block_rows,
-                   force_lpad=None, ov_pad_min=0, progress=None):
+                   force_lpad=None, ov_pad_min=0, progress=None,
+                   transposed=False):
     """Cluster-sorted layout + packed-code encode for one row range.
 
     Shared by the single-chip build and the per-shard builds of
@@ -113,7 +145,14 @@ def _layout_encode(fill, n, pq, assign, nlist, seed, block_rows,
             progress((n + min(row0 + rows, n)) // 2)
     jax.block_until_ready(codes)
     # split ONCE at build: an in-jit codes[:kl] slice for the binned
-    # kernel copies the whole 2.6 GB table every batch (~6.5 ms at 10M)
+    # kernel copies the whole 2.6 GB table every batch (~6.5 ms at 10M).
+    # `transposed` splits via the bounded-peak chunked transpose straight
+    # into the (cw, slots) at-rest layout (slice + .T of a 30M table
+    # peaked at 3x = 18.5 GB).
+    if transposed:
+        main_t, ov_t = _transpose_split(codes, kl)
+        return (lpad, main_t, ov_t, slot_id,
+                np.minimum(counts, lpad), len(ov_h))
     return (lpad, codes[:kl], codes[kl:], slot_id,
             np.minimum(counts, lpad), len(ov_h))
 
@@ -223,18 +262,17 @@ class IVFPQIndex:
                 progress(min(row0 + rows, n) // 2)
 
         lpad, codes_main, codes_ov, slot_id, lens, ov_count = _layout_encode(
-            fill, n, pq, assign, nlist, seed, block_rows, progress=progress)
+            fill, n, pq, assign, nlist, seed, block_rows, progress=progress,
+            transposed=True)
         self = cls(pq, np.asarray(centroids_dev), n, dim, dist, lpad,
                    lens, ov_count, fill=fill,
                    traced_gen=traced_gen, row_gen=row_gen,
                    block_rows=block_rows)
-        # transpose-at-rest (one device copy each, freed immediately): the
-        # lane-padded row-major form would otherwise occupy 1.6x HBM for
-        # the life of the index at cw=160
-        self._codes = codes_main.T
-        self._codes_ov = codes_ov.T
+        # codes arrive already transposed-at-rest ((cw, slots); the
+        # chunked split-transpose above bounds the build's HBM peak)
+        self._codes = codes_main
+        self._codes_ov = codes_ov
         self._codes_is_t = True
-        del codes_main, codes_ov
         self._slot_id = jnp.asarray(slot_id)
         return self
 
