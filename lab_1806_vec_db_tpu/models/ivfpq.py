@@ -64,6 +64,32 @@ def _tset_chunk(dst_t, src, lo):
     return jax.lax.dynamic_update_slice(dst_t, src.T, (jnp.int32(0), lo))
 
 
+@_partial(jax.jit, donate_argnums=(0,),
+          static_argnames=("dist", "draw_rows", "has_rot"))
+def _encode_cols_jit(codes_t, params, key, sids, lo, gidx, gmask, cb, rot,
+                     center, dist, draw_rows, has_rot):
+    """Slot-ordered encode: regenerate the rows owning slots [lo, lo+CH)
+    (via the ROW-ADDRESSABLE generator), PQ-encode, and write the packed
+    codes as a CONTIGUOUS column span of the transposed at-rest table.
+
+    This is the build path that never materializes a row-major code table:
+    a (slots, 160) uint8 device array lane-pads 1.6x (the 30M build OOM'd
+    at 18.5 of 15.75 GB before this path existed), and the row-scatter it
+    needed is replaced by a dynamic_update_slice."""
+    v = draw_rows(params, key, sids).astype(jnp.float32)
+    if has_rot:
+        if center is not None:
+            v = v - center
+        v = jnp.matmul(v, rot, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    grouped = P.regroup(v, gidx, gmask)
+    codes = P.encode(grouped, cb, dist)
+    if codes.shape[1] % 2:
+        codes = jnp.pad(codes, ((0, 0), (0, 1)))
+    packed = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(jnp.uint8)
+    return jax.lax.dynamic_update_slice(codes_t, packed.T, (jnp.int32(0), lo))
+
+
 def _transpose_split(codes, kl, chunk_slots=4 * 1024 * 1024):
     """(slots, cw) uint8 device codes -> ((cw, kl), (cw, slots-kl)) with a
     bounded-peak chunked transpose; frees `codes` before returning."""
@@ -89,7 +115,7 @@ def _transpose_split(codes, kl, chunk_slots=4 * 1024 * 1024):
 
 def _layout_encode(fill, n, pq, assign, nlist, seed, block_rows,
                    force_lpad=None, ov_pad_min=0, progress=None,
-                   transposed=False):
+                   transposed=False, row_gen=None):
     """Cluster-sorted layout + packed-code encode for one row range.
 
     Shared by the single-chip build and the per-shard builds of
@@ -131,9 +157,48 @@ def _layout_encode(fill, n, pq, assign, nlist, seed, block_rows,
     inv_dev = jnp.asarray(inv)
 
     m = pq.config.m
-    codes = jnp.zeros((slots_total, (m + 1) // 2), jnp.uint8)
     gidx, gmask = jnp.asarray(pq._gidx), jnp.asarray(pq._gmask)
     cb = jnp.asarray(pq.codebooks)
+    if transposed and row_gen is not None:
+        # slot-ordered streaming encode straight into the (cw, slots)
+        # at-rest table: no row-major accumulator (1.6x lane padding), no
+        # scatter, peak = the final table + one chunk.  Pad slots carry
+        # row-0 codes — never read (list lens / ov_valid mask them).
+        draw_rows, params, key = row_gen
+        cw = (m + 1) // 2
+        has_rot = pq.rotation is not None
+        rot = jnp.asarray(pq.rotation) if has_rot else None
+        center = (jnp.asarray(pq.center)
+                  if has_rot and pq.center is not None else None)
+        CH = block_rows
+        segs = []
+        for s0, s1 in ((0, kl), (kl, slots_total)):
+            span = s1 - s0
+            seg = jnp.zeros((cw, span), jnp.uint8)
+            if span == 0:
+                segs.append(seg)
+                continue
+            ch = min(CH, span)
+            # exact-width chunks; the tail chunk OVERLAPS the previous one
+            # (columns re-encoded identically) so dynamic_update_slice
+            # never clamps — a clamped start would misalign sids/columns
+            starts = list(range(0, max(span - ch, 0) + 1, ch))
+            if starts and starts[-1] != span - ch:
+                starts.append(span - ch)
+            sid_dev = jnp.asarray(slot_id[s0:s1])
+            for lo in starts:
+                sids = jax.lax.dynamic_slice(sid_dev, (lo,), (ch,))
+                seg = _encode_cols_jit(
+                    seg, params, key, sids, jnp.int32(lo), gidx, gmask, cb,
+                    rot, center, pq.config.dist, draw_rows, has_rot)
+                if progress is not None:
+                    done = s0 + min(lo + ch, span)
+                    progress((n + done * n // slots_total) // 2)
+            segs.append(seg)
+        jax.block_until_ready(segs)
+        return (lpad, segs[0], segs[1], slot_id,
+                np.minimum(counts, lpad), len(ov_h))
+    codes = jnp.zeros((slots_total, (m + 1) // 2), jnp.uint8)
     for row0 in range(0, n, block_rows):
         rows = min(block_rows, n - row0)
         v = fill(row0, rows)
@@ -263,7 +328,7 @@ class IVFPQIndex:
 
         lpad, codes_main, codes_ov, slot_id, lens, ov_count = _layout_encode(
             fill, n, pq, assign, nlist, seed, block_rows, progress=progress,
-            transposed=True)
+            transposed=True, row_gen=row_gen)
         self = cls(pq, np.asarray(centroids_dev), n, dim, dist, lpad,
                    lens, ov_count, fill=fill,
                    traced_gen=traced_gen, row_gen=row_gen,

@@ -253,3 +253,30 @@ def test_pq_codes_serde(tmp_path):
     d2, i2 = idx2.knn_batch(queries, 10, ef=64, c0=512, interpret=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+
+def test_ivfpq_slot_ordered_encode_matches_scatter():
+    """The slot-ordered streaming encode (row-addressable build path — no
+    row-major accumulator, the r5 capacity fix) must produce byte-identical
+    code segments to the block-scatter path."""
+    from lab_1806_vec_db_tpu.models import IVFPQIndex
+
+    fill, gen3, _ = _gen("l2sqr")
+    kw = dict(
+        nlist=32,
+        pq_config=PQConfig(n_bits=4, m=32, dist="l2sqr", k_means_size=4000),
+        sample_rows=4000, block_rows=BR,
+    )
+    a = IVFPQIndex.build_from_fill(fill, N, DIM, "l2sqr", row_gen=gen3, **kw)
+    b = IVFPQIndex.build_from_fill(fill, N, DIM, "l2sqr", **kw)
+    assert a._codes_is_t and b._codes_is_t
+    # pad slots differ by construction (slot-ordered writes row-0 filler
+    # codes, scatter leaves zeros) and are masked at search (list lens /
+    # ov_valid); compare the VALID slots only
+    ca, cb = np.asarray(a._codes), np.asarray(b._codes)
+    col = np.arange(ca.shape[1])
+    valid = (col % a.lpad) < a.lens[col // a.lpad]
+    np.testing.assert_array_equal(ca[:, valid], cb[:, valid])
+    ov = a.ov_count
+    np.testing.assert_array_equal(
+        np.asarray(a._codes_ov)[:, :ov], np.asarray(b._codes_ov)[:, :ov])
