@@ -740,11 +740,14 @@ def bench_codes(n: int, k: int, n_queries: int) -> dict:
     # default auto = 2x mean.
     qb_env = os.environ.get("BENCH_QB", "auto")
     qb = None if qb_env == "auto" else int(qb_env)
+    # BENCH_CHUNK widens the chunk-min grouping (halves the survivor
+    # temp arrays; needed to fit the search compile at 30M+)
+    chunk = int(os.environ.get("BENCH_CHUNK", "16"))
     combos = [(32, 256), (48, 256), (64, 256), (96, 320)]
     ms, med, rec, efs = [], [], [], []
     for p, ef in combos:
         step = lambda q, p=p, ef=ef: idx.knn_batch(q, k, n_probes=p, ef=ef,
-                                                   qb=qb)
+                                                   qb=qb, chunk=chunk)
         _, ids = step(q_dev)
         rec.append(round(recall_at_k(gt_ids, np.asarray(ids), k), 4))
         b, m_ = chained_stats(step)

@@ -60,7 +60,9 @@ def _tset_chunk(dst_t, src, lo):
     transpose used at build: a whole-array `.T` of the encoded codes holds
     source + slice-copy + transposed target live at once (3x the table;
     the 30M build OOM'd at 18.5 of 15.75 GB), where chunking peaks at
-    source + target + one chunk."""
+    source + target + one chunk.  Emits int8 (see _encode_cols_jit)."""
+    if src.dtype != jnp.int8:
+        src = jax.lax.bitcast_convert_type(src, jnp.int8)
     return jax.lax.dynamic_update_slice(dst_t, src.T, (jnp.int32(0), lo))
 
 
@@ -87,6 +89,10 @@ def _encode_cols_jit(codes_t, params, key, sids, lo, gidx, gmask, cb, rot,
     if codes.shape[1] % 2:
         codes = jnp.pad(codes, ((0, 0), (0, 1)))
     packed = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(jnp.uint8)
+    # int8 at rest: the kernels take int8 (sign-safe nibble masks), and a
+    # uint8 table costs a FULL bitcast copy per search (XLA materializes
+    # bitcast-convert — a 7.4 GB HLO temp at 30M)
+    packed = jax.lax.bitcast_convert_type(packed, jnp.int8)
     return jax.lax.dynamic_update_slice(codes_t, packed.T, (jnp.int32(0), lo))
 
 
@@ -96,7 +102,7 @@ def _transpose_split(codes, kl, chunk_slots=4 * 1024 * 1024):
     slots, cw = codes.shape
     outs = []
     for lo0, hi0 in ((0, kl), (kl, slots)):
-        seg = jnp.zeros((cw, hi0 - lo0), jnp.uint8)
+        seg = jnp.zeros((cw, hi0 - lo0), jnp.int8)
         for lo in range(lo0, hi0, chunk_slots):
             hi = min(hi0, lo + chunk_slots)
             src = codes[lo:hi]
@@ -174,7 +180,7 @@ def _layout_encode(fill, n, pq, assign, nlist, seed, block_rows,
         segs = []
         for s0, s1 in ((0, kl), (kl, slots_total)):
             span = s1 - s0
-            seg = jnp.zeros((cw, span), jnp.uint8)
+            seg = jnp.zeros((cw, span), jnp.int8)
             if span == 0:
                 segs.append(seg)
                 continue

@@ -273,10 +273,12 @@ def test_ivfpq_slot_ordered_encode_matches_scatter():
     # pad slots differ by construction (slot-ordered writes row-0 filler
     # codes, scatter leaves zeros) and are masked at search (list lens /
     # ov_valid); compare the VALID slots only
-    ca, cb = np.asarray(a._codes), np.asarray(b._codes)
+    ca = np.asarray(a._codes).view(np.uint8)
+    cb = np.asarray(b._codes).view(np.uint8)
     col = np.arange(ca.shape[1])
     valid = (col % a.lpad) < a.lens[col // a.lpad]
     np.testing.assert_array_equal(ca[:, valid], cb[:, valid])
     ov = a.ov_count
     np.testing.assert_array_equal(
-        np.asarray(a._codes_ov)[:, :ov], np.asarray(b._codes_ov)[:, :ov])
+        np.asarray(a._codes_ov).view(np.uint8)[:, :ov],
+        np.asarray(b._codes_ov).view(np.uint8)[:, :ov])
