@@ -31,6 +31,7 @@ past the first few dozen sorted candidates.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -510,6 +511,19 @@ class HNSWIndex:
             )
             self._links0_dirty_rows.clear()
         return self._dev_links0
+
+    def _links_q_device(self) -> jax.Array:
+        """Packed traversal link rows for the single-kernel beam
+        (ops/pallas_traverse.py:pack_links), cached against the links0
+        device array identity (any link mutation rebuilds links0's device
+        copy or scatters into it — either way the object changes)."""
+        from ..ops import pallas_traverse as PT
+
+        links0 = self._links0_device()
+        cache = getattr(self, "_links_q_cache", None)
+        if cache is None or cache[0] is not links0:
+            self._links_q_cache = (links0, PT.pack_links(links0))
+        return self._links_q_cache[1]
 
     def _write_links0(self, rows: np.ndarray, values: np.ndarray) -> None:
         if self._links0_canonical_dev:
@@ -1142,16 +1156,33 @@ class HNSWIndex:
         links0 = self._links0_device()
         q = jnp.asarray(queries)
         if jax.default_backend() != "cpu":
-            # DMA-gather traversal (see _beam0_rs): frontier expansion runs
-            # on the exact f32 row slab at HBM copy speed, so beam distances
-            # are exact and the sorted beam's head IS the answer.
+            # DMA-gather traversal: frontier expansion runs on the exact
+            # f32 row slab at HBM copy speed, so beam distances are exact
+            # and the sorted beam's head IS the answer.
             base_rs = self.store.device_rerank()
             cur = jnp.full((B,), self.entry_point, jnp.int32)
             for level in range(self.enter_level, 0, -1):
                 ul = self._upper(level)
                 links_l, pos_l = ul.device()
                 cur = _greedy_upper_rs(q, base_rs, links_l, pos_l, cur, 256, self.dist)
-            bd, bi = _beam0_rs(q, base_rs, links0, cur, ef, iters, expand, ring, self.dist)
+            # single-kernel traversal (ops/pallas_traverse.py): the whole
+            # lock-step loop in ONE Pallas kernel — beam state resident in
+            # VMEM, links + candidate rows DMA'd by the scalar core from
+            # in-kernel state.  1M measured 7.5k QPS @ ef=120 vs the
+            # multi-kernel loop's 4.6k.  Requires E*L == 128 lanes
+            # (M=16 -> L=32, E=4); other shapes keep the loop path.
+            L0 = links0.shape[1]
+            if (expand * L0 == 128
+                    and os.environ.get("VECDB_TPU_MONO_BEAM", "1") == "1"):
+                from ..ops import pallas_traverse as PT
+
+                bd, bi = PT.traverse(
+                    q, base_rs, self._links_q_device(), cur, ef, L0,
+                    E=expand, R=min(ring, 256), max_iters=iters,
+                    dist=self.dist)
+            else:
+                bd, bi = _beam0_rs(q, base_rs, links0, cur, ef, iters,
+                                   expand, ring, self.dist)
             d, i = bd[:, :k], bi[:, :k]
             if self.store.tier == "lean":
                 # lean slab is bf16 (selection-grade).  The reference's
