@@ -1050,9 +1050,13 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
                 floors.append(round(rows_scored[-1] * 16e-6, 4))
                 log(f"  traversal_stats ef={ef}: {rows_scored[-1]} rows/q "
                     f"(floor {floors[-1]:.4f} ms/q)")
-            row = sweep_host(
+            # device-resident chained, like every other 1M row (the title's
+            # declared methodology): descent + single-kernel traversal per
+            # step; host np conversion/tunnel sync excluded
+            row = sweep_device(
                 f"tpu-hnsw route=graph M16 efc200 (build {build_s:.0f}s)", efs,
-                lambda ef: hnsw.knn_with_ef_batch(queries, k, ef, route="graph"),
+                lambda q, ef: hnsw._graph_knn_device(q, ef)[:2],
+                reps=3, rounds=3,
                 extra={"build_seconds": round(build_s, 1),
                        "index_device_bytes": hnsw.index_bytes(),
                        "rows_scored_per_query": rows_scored,

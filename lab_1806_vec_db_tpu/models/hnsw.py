@@ -1087,6 +1087,38 @@ class HNSWIndex:
             cur = _greedy_upper(q, q_cache, vecs_t, vcache, links_l, pos_l, cur, 256, self.dist)
         return cur
 
+    def _graph_knn_device(self, q_dev, ef: int, expand: int = BEAM_EXPAND,
+                          iters: int | None = None, ring: int | None = None):
+        """Device-in/device-out graph traversal: upper-level greedy descent
+        + the level-0 beam.  On TPU the beam runs as the SINGLE-KERNEL
+        traversal (ops/pallas_traverse.py) when E*L == 128 lanes (M=16 ->
+        L=32, E=4; 1M measured 7.5k QPS @ ef=120 vs the multi-kernel
+        loop's 4.6k); other shapes keep the multi-kernel lock-step loop.
+        Returns ((B, ef) sorted exact dists, ids)."""
+        if iters is None:
+            iters = (2 * ef + 64 + expand - 1) // expand + 16
+        if ring is None:
+            ring = _pow2(min(2 * ef + 64, 4 * ef))
+        B = q_dev.shape[0]
+        base_rs = self.store.device_rerank()
+        links0 = self._links0_device()
+        cur = jnp.full((B,), self.entry_point, jnp.int32)
+        for level in range(self.enter_level, 0, -1):
+            ul = self._upper(level)
+            links_l, pos_l = ul.device()
+            cur = _greedy_upper_rs(q_dev, base_rs, links_l, pos_l, cur, 256,
+                                   self.dist)
+        L0 = links0.shape[1]
+        if (expand * L0 == 128
+                and os.environ.get("VECDB_TPU_MONO_BEAM", "1") == "1"):
+            from ..ops import pallas_traverse as PT
+
+            return PT.traverse(
+                q_dev, base_rs, self._links_q_device(), cur, ef, L0,
+                E=expand, R=min(ring, 256), max_iters=iters, dist=self.dist)
+        return _beam0_rs(q_dev, base_rs, links0, cur, ef, iters, expand,
+                         ring, self.dist)
+
     def knn_with_ef_batch(
         self,
         queries: np.ndarray,
@@ -1156,33 +1188,7 @@ class HNSWIndex:
         links0 = self._links0_device()
         q = jnp.asarray(queries)
         if jax.default_backend() != "cpu":
-            # DMA-gather traversal: frontier expansion runs on the exact
-            # f32 row slab at HBM copy speed, so beam distances are exact
-            # and the sorted beam's head IS the answer.
-            base_rs = self.store.device_rerank()
-            cur = jnp.full((B,), self.entry_point, jnp.int32)
-            for level in range(self.enter_level, 0, -1):
-                ul = self._upper(level)
-                links_l, pos_l = ul.device()
-                cur = _greedy_upper_rs(q, base_rs, links_l, pos_l, cur, 256, self.dist)
-            # single-kernel traversal (ops/pallas_traverse.py): the whole
-            # lock-step loop in ONE Pallas kernel — beam state resident in
-            # VMEM, links + candidate rows DMA'd by the scalar core from
-            # in-kernel state.  1M measured 7.5k QPS @ ef=120 vs the
-            # multi-kernel loop's 4.6k.  Requires E*L == 128 lanes
-            # (M=16 -> L=32, E=4); other shapes keep the loop path.
-            L0 = links0.shape[1]
-            if (expand * L0 == 128
-                    and os.environ.get("VECDB_TPU_MONO_BEAM", "1") == "1"):
-                from ..ops import pallas_traverse as PT
-
-                bd, bi = PT.traverse(
-                    q, base_rs, self._links_q_device(), cur, ef, L0,
-                    E=expand, R=min(ring, 256), max_iters=iters,
-                    dist=self.dist)
-            else:
-                bd, bi = _beam0_rs(q, base_rs, links0, cur, ef, iters,
-                                   expand, ring, self.dist)
+            bd, bi = self._graph_knn_device(q, ef, expand, iters, ring)
             d, i = bd[:, :k], bi[:, :k]
             if self.store.tier == "lean":
                 # lean slab is bf16 (selection-grade).  The reference's
