@@ -985,7 +985,7 @@ def bench_sweep_1m(n: int, k: int, n_queries: int) -> dict:
         summary["scan_recall"] = row["recall"][0]
 
     # -- HNSW build (M=16, efc=200) --
-    efs = [120, 180, 240, 360]
+    efs = [120, 150, 180, 240, 360]
     hnsw = None
     if "hnsw" in blocks:
         try:
