@@ -106,10 +106,6 @@ def _transpose_split(codes, kl, chunk_slots=4 * 1024 * 1024):
         for lo in range(lo0, hi0, chunk_slots):
             hi = min(hi0, lo + chunk_slots)
             src = codes[lo:hi]
-            if hi - lo < chunk_slots and lo != lo0:
-                # keep one compiled shape for the big chunks; odd tail
-                # goes through its own (single) compile
-                pass
             seg = _tset_chunk(seg, src, jnp.int32(lo - lo0))
         outs.append(seg)
     jax.block_until_ready(outs)
