@@ -1134,11 +1134,14 @@ class HNSWIndex:
         distances.  Two physical plans serve that contract:
 
         route="graph": the literal traversal — greedy descent to level 0 +
-        one lock-step beam search with ef.max(k) over the DMA-gather row
-        slab.  Faithful to the reference algorithm, but batched graph
-        walking is DMA-issue-rate-bound on TPU (each frontier row is an
-        independent ~2-4 KB HBM fetch issued from the single scalar core),
-        so at N=1e6 it runs ~3.8k QPS batched (DESIGN.md 9c).
+        one lock-step beam search over the exact f32 row slab, run as a
+        SINGLE Pallas kernel on TPU (ops/pallas_traverse.py: beam state in
+        VMEM, scalar-core DMA issue from in-kernel state).  Faithful to
+        the reference algorithm and, since round 5, faster than the
+        reference CPU at matched recall (1M: 8.0k QPS @ ef=120, 6.5k @
+        0.8552 — DESIGN.md 9c); batched graph walking remains
+        DMA-issue-rate-bound, so the scan route below is still ~7x faster
+        at this scale.
 
         route="scan": the TPU-native plan — int8 MXU chunk-min scan keeping
         the best `ef` stage-1 survivors, then exact f32 DMA rerank.  `ef`
