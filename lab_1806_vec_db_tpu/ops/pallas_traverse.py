@@ -116,7 +116,7 @@ def _traverse_kernel(
         jax.lax.fori_loop(0, BQ, issue, 0)
         jax.lax.fori_loop(0, BQ, drain, 0)
 
-        rows4 = vrows[:].reshape(BQ, W, SR, 128)
+        rows4 = vrows[:].reshape(BQ, W, SR, 128).astype(jnp.float32)
         q4 = q_ref[:].reshape(BQ, 1, SR, 128)
         if dist == "l2sqr":
             diff = rows4 - q4
@@ -321,7 +321,10 @@ def traverse(
             pltpu.SMEM((BQ, 1), jnp.int32),
             pltpu.SMEM((1, 1), jnp.int32),
             pltpu.VMEM((BQ * E * 8, 128), jnp.int32),
-            pltpu.VMEM((BQ * W * SR, 128), jnp.float32),
+            # candidate-row scratch matches the slab dtype (the lean tier's
+            # slab is bf16; DMA src/dst dtypes must agree), upcast at the
+            # distance epilogue
+            pltpu.VMEM((BQ * W * SR, 128), base_rs.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
